@@ -1,0 +1,145 @@
+"""Headless CLI app driver.
+
+Matches the reference's `cis565_path_tracer SCENEFILE.txt` semantics
+(reference: src/main.cpp:33-76): positional scene file, progressive render to
+the scene's ITERATIONS budget, save `{FILE}.{timestamp}.{N}samp.png`
+(src/main.cpp:91-97) and exit. Headless by default (SURVEY §7 step 8 — the
+interactive GL preview is replaced by periodic PNG snapshots).
+
+Extensions over the reference CLI: --iterations/--depth overrides,
+--sort/--compact/--no-antialias A/B toggles (the scaffold's intended
+experiments, src/pathtrace.cu:313-317,366-367), --sharded multi-chip
+rendering, --checkpoint-every + --resume, --hdr output, --metrics JSON lines,
+--snapshot-every progressive previews (S-key analog, src/main.cpp:156-158).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpu_path_tracer",
+        description="TPU-native differentiable path tracer")
+    p.add_argument("scene", help="scene file (reference text format)")
+    p.add_argument("--iterations", type=int, default=None,
+                   help="override the scene's ITERATIONS")
+    p.add_argument("--depth", type=int, default=None,
+                   help="override the scene's DEPTH (trace depth)")
+    p.add_argument("--out", default=None,
+                   help="output basename (default: scene FILE field)")
+    p.add_argument("--outdir", default=".", help="output directory")
+    p.add_argument("--hdr", action="store_true", help="write Radiance .hdr")
+    p.add_argument("--no-antialias", action="store_true",
+                   help="disable stochastic AA jitter")
+    p.add_argument("--sort", action="store_true",
+                   help="material-key sort paths before shading")
+    p.add_argument("--compact", action="store_true",
+                   help="compact terminated paths each bounce")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard pixels across all visible devices")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--snapshot-every", type=int, default=0, metavar="N",
+                   help="write a progressive PNG every N iterations")
+    p.add_argument("--checkpoint-every", type=int, default=0, metavar="N",
+                   help="write a resume checkpoint every N iterations")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from <out>.ckpt.npz if present")
+    p.add_argument("--metrics", action="store_true",
+                   help="emit JSON-line metrics to stderr")
+    p.add_argument("--timestamp-name", action="store_true",
+                   help="reference-style {FILE}.{timestamp}.{N}samp name")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    from ..scene.parser import load_scene
+    from ..render.integrator import Renderer
+    from ..render import checkpoint as ckpt
+    from ..utils.metrics import RenderMetrics
+
+    scene = load_scene(args.scene)
+    st = scene.settings
+    if args.iterations is not None:
+        st.iterations = args.iterations
+    if args.depth is not None:
+        st.trace_depth = args.depth
+    st.antialias = not args.no_antialias
+    st.sort_materials = args.sort
+    st.compact = args.compact
+    st.seed = args.seed
+
+    base = os.path.join(args.outdir, args.out or st.image_name)
+
+    if args.sharded:
+        from ..parallel.sharding import ShardedRenderer
+        renderer = ShardedRenderer(scene)
+    else:
+        renderer = Renderer(scene)
+
+    start_iter = 0
+    if args.resume:
+        found = ckpt.find_checkpoint(base)
+        if found:
+            accum, start_iter, seed = ckpt.load_checkpoint(found, args.scene)
+            renderer.accum = jax.device_put(
+                accum, getattr(renderer, "accum_sharding", None)) \
+                if args.sharded else jax.numpy.asarray(accum)
+            renderer.iteration = start_iter
+            renderer.base_key = jax.random.PRNGKey(seed)
+            print(f"resumed from {found} at iteration {start_iter}",
+                  file=sys.stderr)
+
+    w, h = scene.camera.resolution
+    metrics = RenderMetrics(width=w, height=h, trace_depth=st.trace_depth)
+
+    print(f"rendering {args.scene}: {w}x{h}, {st.iterations} iterations, "
+          f"depth {st.trace_depth}, devices={len(jax.devices())}",
+          file=sys.stderr)
+
+    metrics.start()
+    for it in range(start_iter, st.iterations):
+        renderer.step()
+        done = it + 1
+        if args.snapshot_every and done % args.snapshot_every == 0:
+            renderer.accum.block_until_ready()
+            metrics.stop(done - start_iter - metrics._iters)
+            out = renderer.save(f"{base}.snap{done}")
+            print(f"[{done}/{st.iterations}] snapshot {out}",
+                  file=sys.stderr)
+            if args.metrics:
+                metrics.emit(iteration=done)
+            metrics.start()
+        if args.checkpoint_every and done % args.checkpoint_every == 0:
+            renderer.accum.block_until_ready()
+            ckpt.save_checkpoint(base + ".ckpt.npz",
+                                 np.asarray(jax.device_get(renderer.accum)),
+                                 done, args.seed, args.scene)
+    renderer.accum.block_until_ready()
+    if metrics._t0 is not None:
+        metrics.stop(st.iterations - start_iter - metrics._iters)
+
+    if args.timestamp_name:
+        # {FILE}.{timestamp}.{N}samp (reference: src/main.cpp:91-97)
+        ts = time.strftime("%Y-%m-%d_%H-%M-%SZ", time.gmtime())
+        out_base = f"{base}.{ts}.{renderer.iteration}samp"
+    else:
+        out_base = base
+    out = renderer.save(out_base, hdr=args.hdr)
+    print(f"saved {out}", file=sys.stderr)
+    if args.metrics:
+        metrics.emit(final=True, output=out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,117 @@
+"""Differentiable / inverse rendering (the capability the reference lacks;
+BASELINE.json north star: pixel gradients w.r.t. BSDF albedo, emission,
+specular color, IOR and camera parameters matching finite differences).
+
+Design (SURVEY §7 step 6): the forward renderer `render_radiance` is pure in
+(materials, camera); all discrete sampling decisions are detached inside
+ops/bsdf.py (detached-sampling Monte Carlo), so `jax.grad` of any pixel loss
+w.r.t. the continuous parameters is an unbiased estimator of the true
+gradient. The train step is the "fwd+bwd" unit the BASELINE benchmark times,
+and the thing `__graft_entry__.dryrun_multichip` shards across a mesh.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..render import integrator as integ
+from ..scene import types as T
+
+
+class RenderParams(NamedTuple):
+    """The differentiable parameter pytree: material table + camera."""
+    materials: T.Materials
+    cam: dict  # Camera.flat()
+
+
+def render_image(params: RenderParams, geoms, meshes, textures, key,
+                 cfg: integ.TraceConfig) -> jnp.ndarray:
+    """One-iteration radiance estimate [H,W,3], differentiable in params."""
+    return integ.render_radiance(params.materials, params.cam, geoms, meshes,
+                                 textures, key, cfg)
+
+
+def mse_loss(params: RenderParams, geoms, meshes, textures, key, cfg,
+             target: jnp.ndarray) -> jnp.ndarray:
+    img = render_image(params, geoms, meshes, textures, key, cfg)
+    return jnp.mean((img - target) ** 2)
+
+
+def unbiased_mse_grad_loss(params: RenderParams, geoms, meshes, textures,
+                           key, cfg, target: jnp.ndarray) -> jnp.ndarray:
+    """Surrogate loss whose gradient is an unbiased estimator of
+    d/dθ (E[L] - target)².
+
+    Single-sample MSE of a Monte Carlo estimate minimizes
+    Var(L) + (E[L]-target)² — the variance term biases fits toward black
+    (the renderer's primary failure mode for inverse problems). The standard
+    fix (differentiable-rendering practice, e.g. Mitsuba): evaluate the
+    residual with one independent sample (detached) and the differential
+    with another, so the cross term is E[L_a-target]·E[dL_b/dθ]."""
+    k_primal, k_diff = jax.random.split(key)
+    primal = jax.lax.stop_gradient(
+        render_image(params, geoms, meshes, textures, k_primal, cfg))
+    diff = render_image(params, geoms, meshes, textures, k_diff, cfg)
+    return 2.0 * jnp.mean((primal - target) * diff)
+
+
+def make_train_step(geoms, meshes, textures, cfg: integ.TraceConfig,
+                    optimizer=None, unbiased: bool = True):
+    """Build a jitted (params, opt_state, key, target) -> (params, opt_state,
+    loss) step. Under a sharded jit the pixel loss is data-parallel and the
+    replicated-parameter gradients get an automatic psum over the mesh."""
+    import optax
+    opt = optimizer or optax.adam(1e-2)
+    loss_fn = unbiased_mse_grad_loss if unbiased else mse_loss
+
+    @jax.jit
+    def step(params: RenderParams, opt_state, key, target):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, geoms, meshes, textures, key, cfg, target)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return opt, step
+
+
+class InverseRenderer:
+    """Fit scene parameters to a target image by gradient descent."""
+
+    def __init__(self, scene: T.Scene, target: np.ndarray,
+                 spp_per_step: int = 1, learning_rate: float = 1e-2,
+                 trace_depth: Optional[int] = None, seed: int = 0):
+        import optax
+        w, h = scene.camera.resolution
+        mesh_idx = tuple(
+            int(i) for i in np.nonzero(np.asarray(scene.geoms.type) == T.MESH)[0])
+        self.cfg = integ.TraceConfig(
+            width=w, height=h,
+            trace_depth=trace_depth or scene.settings.trace_depth,
+            antialias=scene.settings.antialias,
+            mesh_geom_indices=mesh_idx)
+        self.scene = scene
+        self.target = jnp.asarray(target, jnp.float32)
+        self.params = RenderParams(materials=scene.materials,
+                                   cam=scene.camera.flat())
+        self.opt, self._step = make_train_step(
+            scene.geoms, scene.meshes, scene.textures, self.cfg,
+            optimizer=optax.adam(learning_rate))
+        self.opt_state = self.opt.init(self.params)
+        self.key = jax.random.PRNGKey(seed)
+        self.spp = spp_per_step
+
+    def step(self) -> float:
+        loss = None
+        for _ in range(self.spp):
+            self.key, k = jax.random.split(self.key)
+            self.params, self.opt_state, loss = self._step(
+                self.params, self.opt_state, k, self.target)
+        return float(loss)
+
+    def fit(self, steps: int) -> list:
+        return [self.step() for _ in range(steps)]

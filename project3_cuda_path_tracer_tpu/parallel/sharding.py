@@ -1,0 +1,142 @@
+"""Multi-chip / multi-host sharding of the render pipeline.
+
+The reference is single-process, single-GPU (device 0 hard-bound at
+reference src/preview.cpp:107). The TPU-native scaling story (SURVEY §2.3,
+§5.8) is pure data parallelism over pixels:
+
+  * 1-D `Mesh(devices, ('data',))` — on a pod slice this spans ICI; with
+    `jax.distributed.initialize` it extends across hosts over DCN;
+  * the W×H wavefront's leading N dimension is sharded on 'data'
+    (each chip owns a contiguous block of pixel rows);
+  * scene tables (geoms / materials / BVH / textures) are KB–MB scale and
+    replicated (the reference uploads them once per device too,
+    src/pathtrace.cu:89-96);
+  * the progressive accumulation image stays sharded on-device; it is only
+    gathered to the host at save/preview cadence (the reference instead
+    copies D2H every iteration, src/pathtrace.cu:389-390 — we don't);
+  * for the differentiable path, per-material parameter gradients are
+    partial sums per chip; GSPMD inserts the `psum` over 'data'
+    automatically because the parameters are replicated.
+
+No ring/Ulysses-style exchange exists because ray i never reads ray j
+(SURVEY §5.7): the only collectives are the parameter-grad psum and the
+save-time framebuffer all-gather.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..render import integrator as integ
+from ..scene import types as T
+from ..utils import image as img_io
+
+
+def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D data mesh over all (or the first `num_devices`) local+global
+    devices. Call `jax.distributed.initialize()` first for multi-host."""
+    devs = list(devices if devices is not None else jax.devices())
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    return Mesh(np.array(devs), ("data",))
+
+
+def shard_scene(scene: T.Scene, mesh: Mesh) -> T.Scene:
+    """Replicate all scene tables across the mesh (explicit placement so
+    multi-host runs don't rely on implicit broadcasting)."""
+    rep = NamedSharding(mesh, P())
+    put = lambda tree: jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, rep), tree)
+    return T.Scene(
+        camera=scene.camera, settings=scene.settings,
+        materials=put(scene.materials), geoms=put(scene.geoms),
+        meshes=put(scene.meshes), textures=put(scene.textures),
+        source_path=scene.source_path,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("accum",))
+def render_step_sharded(accum, materials, cam, geoms, meshes, textures, key,
+                        cfg: integ.TraceConfig):
+    """One sharded progressive iteration; `cfg.ray_sharding` carries the
+    wavefront sharding and `accum` arrives sharded on its row dimension."""
+    rad = integ.render_radiance(materials, cam, geoms, meshes, textures, key,
+                                cfg)
+    return accum + rad
+
+
+class ShardedRenderer:
+    """Data-parallel progressive renderer over a device mesh.
+
+    Equivalent public surface to `render.integrator.Renderer`, but the
+    accumulator lives sharded across chips and every iteration runs SPMD.
+    Requires H to be divisible by the mesh size (pad the scene resolution or
+    pass a smaller mesh otherwise — path tracing has no cross-pixel
+    dependencies, so any row partition is valid).
+    """
+
+    def __init__(self, scene: T.Scene, mesh: Optional[Mesh] = None,
+                 settings: Optional[T.RenderSettings] = None):
+        self.mesh = mesh or make_mesh()
+        w, h = scene.camera.resolution
+        ndev = self.mesh.devices.size
+        if h % ndev != 0:
+            raise ValueError(
+                f"height {h} not divisible by mesh size {ndev}; "
+                f"pad the resolution")
+        self.scene = shard_scene(scene, self.mesh)
+        self.settings = settings or scene.settings
+
+        ray_sharding = NamedSharding(self.mesh, P("data"))
+        self.accum_sharding = NamedSharding(self.mesh, P("data", None, None))
+        mesh_idx = tuple(
+            int(i) for i in np.nonzero(np.asarray(scene.geoms.type) == T.MESH)[0])
+        self.cfg = integ.TraceConfig(
+            width=w, height=h,
+            trace_depth=self.settings.trace_depth,
+            antialias=self.settings.antialias,
+            sort_materials=self.settings.sort_materials,
+            compact=self.settings.compact,
+            mesh_geom_indices=mesh_idx,
+            ray_sharding=ray_sharding,
+        )
+        self.base_key = jax.random.PRNGKey(self.settings.seed)
+        self.reset()
+
+    def reset(self) -> None:
+        w, h = self.scene.camera.resolution
+        self.accum = jax.device_put(jnp.zeros((h, w, 3), jnp.float32),
+                                    self.accum_sharding)
+        self.iteration = 0
+
+    def step(self) -> None:
+        s = self.scene
+        key = jax.random.fold_in(self.base_key, self.iteration)
+        self.accum = render_step_sharded(
+            self.accum, s.materials, s.camera.flat(), s.geoms, s.meshes,
+            s.textures, key, self.cfg)
+        self.iteration += 1
+
+    def render(self, num_iterations: int, seed: Optional[int] = None):
+        if seed is not None:
+            self.base_key = jax.random.PRNGKey(seed)
+        for _ in range(num_iterations):
+            self.step()
+        self.accum.block_until_ready()
+        return self.accum
+
+    def image(self) -> np.ndarray:
+        """Gather the sharded accumulator to the host and finalize
+        (the save-time all-gather of SURVEY §5.8)."""
+        gathered = jax.device_get(self.accum)
+        return np.asarray(gathered)[:, ::-1, :] / max(self.iteration, 1)
+
+    def save(self, path_base: Optional[str] = None, hdr: bool = False) -> str:
+        base = path_base or self.settings.image_name
+        return img_io.save_render(base, jax.device_get(self.accum),
+                                  self.iteration, hdr=hdr)

@@ -1,0 +1,244 @@
+"""Wavefront path-tracing integrator (the reference's `pathtrace` pipeline).
+
+TPU-native re-design of the host orchestrator + kernel pipeline
+(reference: src/pathtrace.cu:284-393): one *iteration* (= one sample per
+pixel) generates the full W×H primary-ray wavefront, then a bounce loop runs
+intersect → shade over the whole SoA wavefront, accumulating emitted radiance
+per pixel; the iteration's radiance is added into a progressive accumulation
+image (finalGather, src/pathtrace.cu:269-278).
+
+Departures from the reference, by TPU design:
+  * the bounce loop is a `lax.scan` over depth — one traced program,
+    no host round-trips (the reference synchronizes every bounce,
+    src/pathtrace.cu:356 — a latency bug we do not replicate);
+  * path state is a pytree of flat [N] arrays (SoA), not AoS structs;
+  * termination is masking, not shrinking arrays: XLA needs static shapes,
+    so "stream compaction" (src/pathtrace.cu:313-317) becomes an optional
+    stable sort that clusters live paths (ops/compact.py), and dead lanes
+    ride along masked;
+  * RNG is counter-based `jax.random` keyed on (iteration, depth), giving
+    the same per-(pixel, iter, depth) decorrelation contract as
+    makeSeededRandomEngine (src/pathtrace.cu:41-45) without stateful engines.
+
+Differentiability: `render_radiance` is pure in (materials, camera) — wrap it
+in `jax.grad` for inverse rendering; sampling decisions are detached inside
+ops/bsdf.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import camera as cam_ops
+from ..ops import intersect as isect
+from ..ops import bsdf
+from ..ops import compact as compaction
+from ..scene import types as T
+from ..utils import image as img_io
+
+
+class PathState(NamedTuple):
+    """SoA PathSegment wavefront (reference: src/sceneStructs.h:62-69)."""
+    origin: jnp.ndarray      # [N,3]
+    direction: jnp.ndarray   # [N,3]
+    throughput: jnp.ndarray  # [N,3] ("color" in the reference)
+    pixel_index: jnp.ndarray  # [N] int32
+    alive: jnp.ndarray       # [N] bool (remainingBounces > 0 analogue)
+    time: jnp.ndarray        # [N] motion-blur sample time
+
+
+@dataclasses.dataclass(frozen=True)
+class TraceConfig:
+    """Static (trace-time) render knobs. Hashable so it can be a jit static
+    argument; mirrors RenderSettings minus host-only fields.
+
+    `ray_sharding` (a hashable `jax.sharding.NamedSharding` over a 'data'
+    mesh axis, or None) pins the wavefront's leading N dimension to the
+    device mesh; XLA/GSPMD propagates it through the whole bounce pipeline
+    (SURVEY §2.3: pixels are the data-parallel axis)."""
+    width: int
+    height: int
+    trace_depth: int
+    antialias: bool = True
+    sort_materials: bool = False
+    compact: bool = False
+    mesh_geom_indices: Tuple[int, ...] = ()
+    ray_sharding: Optional[object] = None
+
+
+def _sort_paths(state: PathState, hit: isect.Hit, keys: jnp.ndarray):
+    """Stable-sort the wavefront by `keys` (ascending). This is the TPU form
+    of both reference idioms: material-key sorting for coherent shading
+    (src/pathtrace.cu:366-367) and stream compaction of dead paths
+    (src/pathtrace.cu:313-317) — a sort that clusters live paths in front."""
+    perm = compaction.sort_permutation(keys)
+    return (compaction.apply_permutation(state, perm),
+            compaction.apply_permutation(hit, perm))
+
+
+def trace_wavefront(
+    materials: T.Materials,
+    cam: dict,
+    geoms: T.Geoms,
+    meshes: T.MeshBundle,
+    textures: T.Textures,
+    key: jax.Array,
+    cfg: TraceConfig,
+    first_hit: Optional[isect.Hit] = None,
+) -> jnp.ndarray:
+    """Trace one full iteration; returns per-pixel radiance [N,3].
+
+    The pipeline of src/pathtrace.cu:329-381 as one traced program:
+    ray-gen, then scan(intersect → [sort] → shade) over trace_depth, with
+    radiance scatter-added into pixel space each bounce.
+    """
+    n = cfg.width * cfg.height
+    k_gen, k_bounce = jax.random.split(key)
+
+    o, d, times = cam_ops.generate_rays(cam, cfg.width, cfg.height, k_gen,
+                                        antialias=cfg.antialias)
+    if cfg.ray_sharding is not None:
+        o = jax.lax.with_sharding_constraint(o, cfg.ray_sharding)
+        d = jax.lax.with_sharding_constraint(d, cfg.ray_sharding)
+    state = PathState(
+        origin=o, direction=d,
+        throughput=jnp.ones((n, 3), jnp.float32),
+        pixel_index=jnp.arange(n, dtype=jnp.int32),
+        alive=jnp.ones((n,), bool),
+        time=times,
+    )
+    radiance = jnp.zeros((n, 3), jnp.float32)
+    permuted = False  # whether pixel_index is still the identity (static)
+
+    def bounce(carry, inp):
+        state, radiance = carry
+        depth, k_d = inp
+        hit = isect.intersect_scene(state.origin, state.direction, state.time,
+                                    geoms, meshes, cfg.mesh_geom_indices)
+        return _shade_and_advance(state, radiance, hit, depth, k_d), None
+
+    def _shade_and_advance(state, radiance, hit, depth, k_d):
+        if cfg.sort_materials or cfg.compact:
+            sort_key = compaction.material_sort_key(state.alive, hit.t,
+                                                    hit.mat_id)
+            state, hit = _sort_paths(state, hit, sort_key)
+
+        uniforms = jax.random.uniform(k_d, (n, 4), jnp.float32)
+        last = depth >= (cfg.trace_depth - 1)
+        out = bsdf.shade(hit, state.direction, state.throughput, state.alive,
+                         materials, textures, uniforms,
+                         last_bounce=jnp.broadcast_to(last, state.alive.shape))
+        if cfg.sort_materials or cfg.compact:
+            radiance = radiance.at[state.pixel_index].add(out.radiance)
+        else:
+            radiance = radiance + out.radiance
+        state = PathState(origin=out.origin, direction=out.direction,
+                          throughput=out.throughput,
+                          pixel_index=state.pixel_index,
+                          alive=out.alive, time=state.time)
+        return state, radiance
+
+    depths = jnp.arange(cfg.trace_depth, dtype=jnp.int32)
+    keys = jax.random.split(k_bounce, cfg.trace_depth)
+
+    if first_hit is not None:
+        # First-bounce cache (reference slot: iteration-invariant depth-0
+        # intersections, src/pathtrace.cu:150,240): skip the depth-0
+        # intersect and reuse the cached Hit.
+        (state, radiance) = _shade_and_advance(state, radiance, first_hit,
+                                               jnp.int32(0), keys[0])
+        if cfg.trace_depth > 1:
+            (state, radiance), _ = jax.lax.scan(
+                bounce, (state, radiance), (depths[1:], keys[1:]))
+    else:
+        (state, radiance), _ = jax.lax.scan(
+            bounce, (state, radiance), (depths, keys))
+    return radiance
+
+
+def render_radiance(materials, cam, geoms, meshes, textures, key, cfg,
+                    first_hit=None):
+    """One-iteration radiance image [H,W,3]; differentiable in
+    (materials, cam). Path i maps to pixel (i % W, i // W)
+    (reference: src/pathtrace.cu:128,140), so the reshape lands at [y, x]."""
+    rad = trace_wavefront(materials, cam, geoms, meshes, textures, key, cfg,
+                          first_hit)
+    return rad.reshape(cfg.height, cfg.width, 3)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("accum",))
+def render_step(accum, materials, cam, geoms, meshes, textures, key, cfg):
+    """Progressive-accumulation step: accum += one iteration's radiance
+    (finalGather, reference src/pathtrace.cu:269-278,381)."""
+    return accum + render_radiance(materials, cam, geoms, meshes, textures,
+                                   key, cfg)
+
+
+def render_samples(scene: T.Scene, num_iterations: int,
+                   seed: Optional[int] = None) -> np.ndarray:
+    """Convenience: render `num_iterations` samples/pixel, return the raw
+    accumulation image [H,W,3] (not yet divided by the sample count)."""
+    r = Renderer(scene)
+    accum = r.render(num_iterations, seed=seed)
+    return np.asarray(accum)
+
+
+class Renderer:
+    """Host orchestrator (reference: pathtraceInit/pathtrace/pathtraceFree,
+    src/pathtrace.h:6-8). Owns the device accumulation buffer and the
+    iteration counter; `step()` adds one sample per pixel."""
+
+    def __init__(self, scene: T.Scene, settings: Optional[T.RenderSettings] = None):
+        self.scene = scene
+        self.settings = settings or scene.settings
+        w, h = scene.camera.resolution
+        mesh_idx = tuple(
+            int(i) for i in np.nonzero(np.asarray(scene.geoms.type) == T.MESH)[0])
+        self.cfg = TraceConfig(
+            width=w, height=h,
+            trace_depth=self.settings.trace_depth,
+            antialias=self.settings.antialias,
+            sort_materials=self.settings.sort_materials,
+            compact=self.settings.compact,
+            mesh_geom_indices=mesh_idx,
+        )
+        self.base_key = jax.random.PRNGKey(self.settings.seed)
+        self.reset()
+
+    def reset(self) -> None:
+        """Zero the accumulator (pathtraceInit semantics,
+        reference src/pathtrace.cu:85)."""
+        w, h = self.scene.camera.resolution
+        self.accum = jnp.zeros((h, w, 3), jnp.float32)
+        self.iteration = 0
+
+    def step(self) -> None:
+        """One progressive iteration (one spp)."""
+        s = self.scene
+        key = jax.random.fold_in(self.base_key, self.iteration)
+        self.accum = render_step(self.accum, s.materials, s.camera.flat(),
+                                 s.geoms, s.meshes, s.textures, key, self.cfg)
+        self.iteration += 1
+
+    def render(self, num_iterations: int, seed: Optional[int] = None):
+        if seed is not None:
+            self.base_key = jax.random.PRNGKey(seed)
+        for _ in range(num_iterations):
+            self.step()
+        self.accum.block_until_ready()
+        return self.accum
+
+    def image(self) -> np.ndarray:
+        """Finalized [H,W,3] float image in [0,1]-ish (mean over samples,
+        x-mirrored like saveImage, reference src/main.cpp:83-89)."""
+        return np.asarray(self.accum)[:, ::-1, :] / max(self.iteration, 1)
+
+    def save(self, path_base: Optional[str] = None, hdr: bool = False) -> str:
+        base = path_base or self.settings.image_name
+        return img_io.save_render(base, np.asarray(self.accum),
+                                  self.iteration, hdr=hdr)

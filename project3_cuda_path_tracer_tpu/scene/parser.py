@@ -1,0 +1,299 @@
+"""Scene-file parser for the reference's text grammar.
+
+Verbatim-compatible with the reference format (reference: src/scene.cpp):
+  MATERIAL n  -> RGB/SPECEX/SPECRGB/REFL/REFR/REFRIOR/EMITTANCE (src/scene.cpp:153-188)
+  CAMERA      -> RES/FOVY/ITERATIONS/DEPTH/FILE then EYE/LOOKAT/UP (src/scene.cpp:92-151)
+  OBJECT n    -> type line, `material k`, TRANS/ROTAT/SCALE (src/scene.cpp:35-90)
+IDs must be sequential (src/scene.cpp:37,155). Blocks end at a blank line.
+
+Extensions (gated on new keywords, so reference scenes parse unchanged):
+  OBJECT type   `mesh <path.obj>`          (TODO slot: src/pathtrace.cu:188)
+  OBJECT key    VELOC vx vy vz             (motion blur: src/pathtrace.cu:119)
+  CAMERA keys   APERTURE r / FOCAL d       (thin-lens DoF: src/pathtrace.cu:120)
+                SHUTTER t                  (motion blur time span)
+  MATERIAL key  TEXTURE <path>             (texture mapping, BASELINE config 5)
+  top-level     ENVMAP <path.hdr|.png>     (environment lighting, BASELINE config 5)
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..utils import math as m
+from . import types as T
+
+
+class SceneParseError(ValueError):
+    pass
+
+
+def _tokenize(line: str) -> List[str]:
+    return line.split()
+
+
+def _is_blank(line: str) -> bool:
+    return len(line.strip()) == 0
+
+
+def _is_comment(line: str) -> bool:
+    return line.lstrip().startswith("//")
+
+
+class _Cursor:
+    def __init__(self, lines: List[str]):
+        self.lines = lines
+        self.i = 0
+
+    def eof(self) -> bool:
+        return self.i >= len(self.lines)
+
+    def peek(self) -> str:
+        return self.lines[self.i]
+
+    def next(self) -> str:
+        line = self.lines[self.i]
+        self.i += 1
+        return line
+
+
+def _read_block(cur: _Cursor) -> List[List[str]]:
+    """Read token-lines until a blank line or EOF (comments skipped)."""
+    rows = []
+    while not cur.eof():
+        line = cur.peek()
+        if _is_blank(line):
+            break
+        cur.next()
+        if _is_comment(line):
+            continue
+        rows.append(_tokenize(line))
+    return rows
+
+
+def load_scene(path: str) -> T.Scene:
+    with open(path, "r") as f:
+        lines = [ln.rstrip("\r\n") for ln in f]
+    cur = _Cursor(lines)
+
+    mats: List[dict] = []
+    geoms: List[dict] = []
+    cam: Optional[T.Camera] = None
+    settings = T.RenderSettings()
+    envmap_path: Optional[str] = None
+    base = os.path.dirname(os.path.abspath(path))
+
+    while not cur.eof():
+        line = cur.next()
+        if _is_blank(line) or _is_comment(line):
+            continue
+        tok = _tokenize(line)
+        kw = tok[0]
+        if kw == "MATERIAL":
+            mid = int(tok[1])
+            if mid != len(mats):
+                raise SceneParseError(
+                    f"MATERIAL ID {mid} does not match expected {len(mats)}")
+            mat = dict(color=(0, 0, 0), specex=0.0, speccol=(0, 0, 0),
+                       refl=0.0, refr=0.0, ior=0.0, emittance=0.0,
+                       texture=None)
+            for row in _read_block(cur):
+                k = row[0]
+                if k == "RGB":
+                    mat["color"] = tuple(float(v) for v in row[1:4])
+                elif k == "SPECEX":
+                    mat["specex"] = float(row[1])
+                elif k == "SPECRGB":
+                    mat["speccol"] = tuple(float(v) for v in row[1:4])
+                elif k == "REFL":
+                    mat["refl"] = float(row[1])
+                elif k == "REFR":
+                    mat["refr"] = float(row[1])
+                elif k == "REFRIOR":
+                    mat["ior"] = float(row[1])
+                elif k == "EMITTANCE":
+                    mat["emittance"] = float(row[1])
+                elif k == "TEXTURE":
+                    mat["texture"] = os.path.join(base, row[1])
+            mats.append(mat)
+        elif kw == "OBJECT":
+            gid = int(tok[1])
+            if gid != len(geoms):
+                raise SceneParseError(
+                    f"OBJECT ID {gid} does not match expected {len(geoms)}")
+            g = dict(type=None, mesh_path=None, material=0,
+                     trans=(0, 0, 0), rotat=(0, 0, 0), scale=(1, 1, 1),
+                     veloc=(0, 0, 0))
+            # type line (reference: src/scene.cpp:46-55)
+            while True:
+                tline = cur.next()
+                if not _is_comment(tline):
+                    break
+            trow = _tokenize(tline)
+            tname = trow[0]
+            if tname == "sphere":
+                g["type"] = T.SPHERE
+            elif tname == "cube":
+                g["type"] = T.CUBE
+            elif tname == "mesh":
+                g["type"] = T.MESH
+                g["mesh_path"] = os.path.join(base, trow[1])
+            else:
+                raise SceneParseError(f"unknown OBJECT type {tname!r}")
+            for row in _read_block(cur):
+                k = row[0]
+                if k == "material":
+                    g["material"] = int(row[1])
+                elif k == "TRANS":
+                    g["trans"] = tuple(float(v) for v in row[1:4])
+                elif k == "ROTAT":
+                    g["rotat"] = tuple(float(v) for v in row[1:4])
+                elif k == "SCALE":
+                    g["scale"] = tuple(float(v) for v in row[1:4])
+                elif k == "VELOC":
+                    g["veloc"] = tuple(float(v) for v in row[1:4])
+            geoms.append(g)
+        elif kw == "CAMERA":
+            res = (800, 800)
+            fovy = 45.0
+            eye = (0.0, 0.0, 0.0)
+            look = (0.0, 0.0, -1.0)
+            up = (0.0, 1.0, 0.0)
+            aperture = 0.0
+            focal = 0.0
+            shutter = 0.0
+            for row in _read_block(cur):
+                k = row[0]
+                if k == "RES":
+                    res = (int(row[1]), int(row[2]))
+                elif k == "FOVY":
+                    fovy = float(row[1])
+                elif k == "ITERATIONS":
+                    settings.iterations = int(row[1])
+                elif k == "DEPTH":
+                    settings.trace_depth = int(row[1])
+                elif k == "FILE":
+                    settings.image_name = row[1]
+                elif k == "EYE":
+                    eye = tuple(float(v) for v in row[1:4])
+                elif k == "LOOKAT":
+                    look = tuple(float(v) for v in row[1:4])
+                elif k == "UP":
+                    up = tuple(float(v) for v in row[1:4])
+                elif k == "APERTURE":
+                    aperture = float(row[1])
+                elif k == "FOCAL":
+                    focal = float(row[1])
+                elif k == "SHUTTER":
+                    shutter = float(row[1])
+            cam = T.Camera(
+                resolution=res,
+                position=np.array(eye, np.float32),
+                look_at=np.array(look, np.float32),
+                up=np.array(up, np.float32),
+                fovy=fovy, aperture=aperture, focal_distance=focal,
+                shutter=shutter,
+            ).derive()
+        elif kw == "ENVMAP":
+            envmap_path = os.path.join(base, tok[1])
+
+    if cam is None:
+        raise SceneParseError("scene has no CAMERA block")
+    if not mats:
+        raise SceneParseError("scene has no materials")
+
+    materials = T.Materials(
+        color=jnp.array([mt["color"] for mt in mats], jnp.float32),
+        specular_exponent=jnp.array([mt["specex"] for mt in mats], jnp.float32),
+        specular_color=jnp.array([mt["speccol"] for mt in mats], jnp.float32),
+        has_reflective=jnp.array([mt["refl"] for mt in mats], jnp.float32),
+        has_refractive=jnp.array([mt["refr"] for mt in mats], jnp.float32),
+        ior=jnp.array([mt["ior"] for mt in mats], jnp.float32),
+        emittance=jnp.array([mt["emittance"] for mt in mats], jnp.float32),
+    )
+
+    transforms = np.stack([
+        m.build_transformation_matrix(g["trans"], g["rotat"], g["scale"])
+        for g in geoms]) if geoms else np.zeros((0, 4, 4), np.float32)
+    inv = np.stack([m.inverse(t) for t in transforms]) if geoms else transforms
+    invt = np.stack([m.inverse_transpose(t) for t in transforms]) if geoms else transforms
+
+    # Load meshes referenced by OBJECTs (deduplicated by path).
+    mesh_paths: List[str] = []
+    mesh_ids = []
+    for g in geoms:
+        if g["type"] == T.MESH:
+            if g["mesh_path"] not in mesh_paths:
+                mesh_paths.append(g["mesh_path"])
+            mesh_ids.append(mesh_paths.index(g["mesh_path"]))
+        else:
+            mesh_ids.append(-1)
+
+    geom_soa = T.Geoms(
+        type=jnp.array([g["type"] for g in geoms], jnp.int32),
+        material_id=jnp.array([g["material"] for g in geoms], jnp.int32),
+        transform=jnp.asarray(transforms),
+        inverse_transform=jnp.asarray(inv),
+        inverse_transpose=jnp.asarray(invt),
+        velocity=jnp.array([g["veloc"] for g in geoms], jnp.float32),
+        mesh_id=jnp.array(mesh_ids, jnp.int32),
+    )
+
+    if mesh_paths:
+        from .bvh import build_mesh_bundle
+        meshes = build_mesh_bundle(mesh_paths)
+    else:
+        meshes = T.MeshBundle.empty()
+
+    textures = _load_textures(mats, envmap_path)
+
+    return T.Scene(camera=cam, settings=settings, materials=materials,
+                   geoms=geom_soa, meshes=meshes, textures=textures,
+                   source_path=os.path.abspath(path))
+
+
+def _load_textures(mats: List[dict], envmap_path: Optional[str]) -> T.Textures:
+    from ..utils.image import read_image  # lazy: avoids cycle
+    tex_paths = [mt["texture"] for mt in mats]
+    imgs = {}
+    for p in tex_paths:
+        if p is not None and p not in imgs:
+            imgs[p] = read_image(p)
+    if not imgs and envmap_path is None:
+        return T.Textures.none(len(mats))
+
+    # Pack a vertical-strip atlas (simple + static-shape friendly).
+    if imgs:
+        ordered = list(imgs.items())
+        wa = max(im.shape[1] for _, im in ordered)
+        ha = sum(im.shape[0] for _, im in ordered)
+        atlas = np.zeros((ha, wa, 3), np.float32)
+        offsets = {}
+        y = 0
+        for p, im in ordered:
+            atlas[y:y + im.shape[0], :im.shape[1]] = im
+            offsets[p] = (0, y, im.shape[1], im.shape[0])
+            y += im.shape[0]
+    else:
+        atlas = np.zeros((1, 1, 3), np.float32)
+        offsets = {}
+
+    rect = np.zeros((len(mats), 4), np.int32)
+    tex_id = -np.ones((len(mats),), np.int32)
+    for i, p in enumerate(tex_paths):
+        if p is not None:
+            rect[i] = offsets[p]
+            tex_id[i] = 0
+    if envmap_path is not None:
+        env = read_image(envmap_path)
+        env_enabled = 1.0
+    else:
+        env = np.zeros((1, 1, 3), np.float32)
+        env_enabled = 0.0
+    return T.Textures(
+        atlas=jnp.asarray(atlas), rect=jnp.asarray(rect),
+        tex_id=jnp.asarray(tex_id), env=jnp.asarray(env),
+        env_enabled=jnp.asarray(env_enabled, jnp.float32),
+    )

@@ -1,0 +1,248 @@
+"""Scene data model: host dataclasses + device-side SoA pytrees.
+
+TPU-first re-design of the reference's AoS POD structs
+(reference: src/sceneStructs.h:8-76). Device data is structure-of-arrays so
+every field maps onto flat [G]/[M]/[N] vectors that the VPU can stream;
+transforms are [G,4,4] stacked matrices.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from ..utils import math as m
+
+# GeomType (reference: src/sceneStructs.h:10-13)
+SPHERE = 0
+CUBE = 1
+MESH = 2  # extension slot (reference TODO: src/pathtrace.cu:188)
+
+BACKGROUND_COLOR = np.zeros(3, dtype=np.float32)  # src/sceneStructs.h:8
+
+
+def _register(cls):
+    """Register a dataclass as a JAX pytree (all fields are leaves)."""
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+@_register
+@dataclass
+class Materials:
+    """SoA material table (reference: src/sceneStructs.h:31-41).
+
+    All arrays have leading dim M (number of materials). These are the
+    *differentiable parameters* of the renderer: `jax.grad` flows into
+    color / specular_color / emittance / ior.
+    """
+    color: jnp.ndarray            # [M,3]
+    specular_exponent: jnp.ndarray  # [M]
+    specular_color: jnp.ndarray   # [M,3]
+    has_reflective: jnp.ndarray   # [M]  float; used as specular lobe probability
+    has_refractive: jnp.ndarray   # [M]  float; used as refractive lobe probability
+    ior: jnp.ndarray              # [M]
+    emittance: jnp.ndarray        # [M]
+
+    @staticmethod
+    def zeros(n: int) -> "Materials":
+        return Materials(
+            color=jnp.zeros((n, 3), jnp.float32),
+            specular_exponent=jnp.zeros((n,), jnp.float32),
+            specular_color=jnp.zeros((n, 3), jnp.float32),
+            has_reflective=jnp.zeros((n,), jnp.float32),
+            has_refractive=jnp.zeros((n,), jnp.float32),
+            ior=jnp.zeros((n,), jnp.float32),
+            emittance=jnp.zeros((n,), jnp.float32),
+        )
+
+
+@_register
+@dataclass
+class Geoms:
+    """SoA geometry table (reference: src/sceneStructs.h:20-29).
+
+    transform / inverse_transform / inverse_transpose are stacked 4x4s;
+    canonical primitives are the unit sphere (r=0.5) and unit cube
+    ([-0.5,0.5]^3) in object space (reference: src/intersections.h:40-41,94).
+    `velocity` is the motion-blur extension (reference TODO:
+    src/pathtrace.cu:119): world-space translation per unit shutter time.
+    """
+    type: jnp.ndarray               # [G] int32 (SPHERE/CUBE/MESH)
+    material_id: jnp.ndarray        # [G] int32
+    transform: jnp.ndarray          # [G,4,4]
+    inverse_transform: jnp.ndarray  # [G,4,4]
+    inverse_transpose: jnp.ndarray  # [G,4,4]
+    velocity: jnp.ndarray           # [G,3]
+    mesh_id: jnp.ndarray            # [G] int32; index into MeshBundle, -1 if none
+
+
+@_register
+@dataclass
+class MeshBundle:
+    """Flattened triangle-mesh + BVH arrays shared by all MESH geoms.
+
+    All meshes are concatenated; per-geom `mesh_id` selects a (node, tri)
+    range. Built host-side (scene/bvh.py), resident in HBM on device.
+    """
+    # triangle soup, object space
+    tri_v0: jnp.ndarray     # [T,3]
+    tri_e1: jnp.ndarray     # [T,3]  v1 - v0
+    tri_e2: jnp.ndarray     # [T,3]  v2 - v0
+    tri_n0: jnp.ndarray     # [T,3]  vertex normals (face normal if absent)
+    tri_n1: jnp.ndarray     # [T,3]
+    tri_n2: jnp.ndarray     # [T,3]
+    tri_uv0: jnp.ndarray    # [T,2]
+    tri_uv1: jnp.ndarray    # [T,2]
+    tri_uv2: jnp.ndarray    # [T,2]
+    # flattened BVH (depth-first, stackless-friendly layout)
+    node_lo: jnp.ndarray    # [B,3]  aabb min
+    node_hi: jnp.ndarray    # [B,3]  aabb max
+    node_right: jnp.ndarray  # [B] int32: right-child index (internal) or -1
+    node_start: jnp.ndarray  # [B] int32: first tri (leaf) else -1
+    node_count: jnp.ndarray  # [B] int32: tri count (leaf) else 0
+    node_skip: jnp.ndarray   # [B] int32: next node if subtree skipped (escape idx)
+    mesh_root: jnp.ndarray   # [K] int32: BVH root node per mesh
+    mesh_tri_offset: jnp.ndarray  # [K] int32
+
+    @staticmethod
+    def empty() -> "MeshBundle":
+        f3 = jnp.zeros((1, 3), jnp.float32)
+        f2 = jnp.zeros((1, 2), jnp.float32)
+        i1 = jnp.zeros((1,), jnp.int32)
+        return MeshBundle(
+            tri_v0=f3, tri_e1=f3, tri_e2=f3,
+            tri_n0=f3, tri_n1=f3, tri_n2=f3,
+            tri_uv0=f2, tri_uv1=f2, tri_uv2=f2,
+            node_lo=f3, node_hi=f3,
+            node_right=i1 - 1, node_start=i1, node_count=i1, node_skip=i1 - 1,
+            mesh_root=jnp.zeros((1,), jnp.int32),
+            mesh_tri_offset=jnp.zeros((1,), jnp.int32),
+        )
+
+
+@_register
+@dataclass
+class Textures:
+    """Texture atlas + per-material texture table (extension: BASELINE config 5).
+
+    A single [H,W,3] atlas; per-material rectangle (offset + size in texels).
+    material `tex_id` < 0 means untextured. Env map is an equirect [He,We,3]
+    radiance image; env_enabled gates it (background stays black otherwise,
+    reference: src/sceneStructs.h:8).
+    """
+    atlas: jnp.ndarray       # [Ha,Wa,3] float32
+    rect: jnp.ndarray        # [M,4] int32 (x, y, w, h) per material
+    tex_id: jnp.ndarray      # [M] int32 (-1 = none)
+    env: jnp.ndarray         # [He,We,3] float32
+    env_enabled: jnp.ndarray  # [] float32 (0/1)
+
+    @staticmethod
+    def none(num_materials: int) -> "Textures":
+        return Textures(
+            atlas=jnp.zeros((1, 1, 3), jnp.float32),
+            rect=jnp.zeros((max(num_materials, 1), 4), jnp.int32),
+            tex_id=-jnp.ones((max(num_materials, 1),), jnp.int32),
+            env=jnp.zeros((1, 1, 3), jnp.float32),
+            env_enabled=jnp.zeros((), jnp.float32),
+        )
+
+
+@dataclass
+class Camera:
+    """Host-side camera (reference: src/sceneStructs.h:43-52).
+
+    Derived quantities follow Scene::loadCamera (src/scene.cpp:132-142):
+      yscaled = tan(fovy deg); xscaled = yscaled * resx / resy
+      pixel_length = (2*xscaled/resx, 2*yscaled/resy)
+      view = normalize(lookAt - position)
+    and the orbit rebuild of runCuda (src/main.cpp:102-120) re-orthogonalizes
+    right/up. Extensions: thin-lens DoF (aperture radius + focal distance,
+    reference TODO src/pathtrace.cu:120) and shutter time for motion blur.
+    """
+    resolution: tuple  # (w, h)
+    position: np.ndarray
+    look_at: np.ndarray
+    up: np.ndarray
+    view: np.ndarray = None
+    right: np.ndarray = None
+    fov: np.ndarray = None          # (fovx, fovy) degrees
+    pixel_length: np.ndarray = None
+    fovy: float = 45.0
+    aperture: float = 0.0
+    focal_distance: float = 0.0
+    shutter: float = 0.0            # motion-blur shutter span (0 = off)
+
+    def derive(self) -> "Camera":
+        w, h = self.resolution
+        yscaled = np.tan(self.fovy * (m.PI / 180.0))
+        xscaled = yscaled * w / h
+        fovx = np.arctan(xscaled) * 180.0 / m.PI
+        self.fov = np.array([fovx, self.fovy], dtype=np.float32)
+        self.pixel_length = np.array(
+            [2.0 * xscaled / w, 2.0 * yscaled / h], dtype=np.float32)
+        self.view = m.normalize(np.asarray(self.look_at) - np.asarray(self.position))
+        r = np.cross(self.view, np.asarray(self.up, dtype=np.float32))
+        self.right = m.normalize(r)
+        self.up = m.normalize(np.cross(self.right, self.view))
+        self.position = np.asarray(self.position, dtype=np.float32)
+        self.look_at = np.asarray(self.look_at, dtype=np.float32)
+        return self
+
+    def flat(self) -> dict:
+        """Device-friendly dict of float32 arrays (a pytree of camera params
+        that jax.grad can differentiate through)."""
+        return dict(
+            position=jnp.asarray(self.position, jnp.float32),
+            view=jnp.asarray(self.view, jnp.float32),
+            up=jnp.asarray(self.up, jnp.float32),
+            right=jnp.asarray(self.right, jnp.float32),
+            pixel_length=jnp.asarray(self.pixel_length, jnp.float32),
+            aperture=jnp.asarray(self.aperture, jnp.float32),
+            focal_distance=jnp.asarray(self.focal_distance, jnp.float32),
+            shutter=jnp.asarray(self.shutter, jnp.float32),
+        )
+
+
+@dataclass
+class RenderSettings:
+    """Render-state config (reference: src/sceneStructs.h:54-60) plus
+    TPU-side knobs (SURVEY §5.6)."""
+    iterations: int = 5000
+    trace_depth: int = 8
+    image_name: str = "render"
+    antialias: bool = True
+    sort_materials: bool = False
+    compact: bool = False
+    first_bounce_cache: bool = False
+    use_pallas: bool = True
+    seed: int = 0
+
+
+@dataclass
+class Scene:
+    """Parsed scene: host camera/settings + device SoA tables."""
+    camera: Camera
+    settings: RenderSettings
+    materials: Materials
+    geoms: Geoms
+    meshes: MeshBundle = field(default_factory=MeshBundle.empty)
+    textures: Optional[Textures] = None
+    source_path: str = ""
+
+    def __post_init__(self):
+        if self.textures is None:
+            self.textures = Textures.none(int(self.materials.color.shape[0]))
+
+    @property
+    def num_geoms(self) -> int:
+        return int(self.geoms.type.shape[0])
+
+    @property
+    def num_materials(self) -> int:
+        return int(self.materials.color.shape[0])

@@ -1,0 +1,186 @@
+"""Image I/O: PNG + Radiance HDR writers, dependency-free.
+
+Matches the reference's output semantics (reference: src/image.cpp:22-45):
+PNG = clamp([0,1]) * 255, 3-channel, NO gamma; HDR = Radiance float.
+`save_render` reproduces saveImage (reference: src/main.cpp:78-99): divide the
+accumulator by the sample count and mirror x (width-1-x).
+"""
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import numpy as np
+
+
+def write_png(path: str, rgb8: np.ndarray) -> None:
+    """Write an [H,W,3] uint8 array as PNG (pure zlib, no deps)."""
+    h, w, c = rgb8.shape
+    assert c == 3 and rgb8.dtype == np.uint8
+    raw = b"".join(b"\x00" + rgb8[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+def read_png(path: str) -> np.ndarray:
+    """Minimal PNG reader for 8-bit RGB/RGBA/gray, returns [H,W,3] float32 in [0,1]."""
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos = 8
+    idat = b""
+    w = h = bitdepth = coltype = None
+    palette = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bitdepth, coltype = struct.unpack(">IIBB", body[:10])
+            interlace = body[12]
+            assert bitdepth == 8 and interlace == 0, "unsupported PNG variant"
+        elif tag == b"PLTE":
+            palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[coltype]
+    raw = zlib.decompress(idat)
+    stride = w * nch
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    p = 0
+    for y in range(h):
+        ft = raw[p]
+        row = np.frombuffer(raw[p + 1:p + 1 + stride], np.uint8).astype(np.int32)
+        p += 1 + stride
+        if ft == 0:
+            cur = row
+        elif ft == 1:
+            cur = row.copy()
+            for i in range(nch, stride):
+                cur[i] = (cur[i] + cur[i - nch]) & 0xFF
+        elif ft == 2:
+            cur = (row + prev) & 0xFF
+        elif ft == 3:
+            cur = row.copy()
+            for i in range(stride):
+                left = cur[i - nch] if i >= nch else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            cur = row.copy()
+            for i in range(stride):
+                a = cur[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    img = out.reshape(h, w, nch)
+    if coltype == 3:
+        img = palette[img[..., 0]]
+    elif nch == 1:
+        img = np.repeat(img, 3, axis=-1)
+    elif nch == 2:
+        img = np.repeat(img[..., :1], 3, axis=-1)
+    elif nch == 4:
+        img = img[..., :3]
+    return img.astype(np.float32) / 255.0
+
+
+def write_hdr(path: str, rgb: np.ndarray) -> None:
+    """Radiance .hdr writer (flat RLE-free RGBE), matching stbi_write_hdr output
+    semantics (reference: src/image.cpp:41-45)."""
+    h, w, _ = rgb.shape
+    header = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n" + f"-Y {h} +X {w}\n".encode()
+    v = np.maximum(rgb.astype(np.float32), 0.0)
+    maxc = v.max(axis=-1)
+    nz = maxc > 1e-32
+    # frexp puts the max channel's mantissa in [128,255] (stb semantics)
+    _, e = np.frexp(np.where(nz, maxc, 1.0))
+    scale = np.where(nz, 256.0 / np.exp2(e.astype(np.float64)), 0.0)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.clip(v * scale[..., None], 0, 255).astype(np.uint8)
+    rgbe[..., 3] = np.where(nz, e + 128, 0).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(rgbe.tobytes())
+
+
+def read_hdr(path: str) -> np.ndarray:
+    """Radiance .hdr reader (handles both flat and adaptive-RLE scanlines)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    # header
+    pos = data.index(b"\n\n") + 2 if b"\n\n" in data[:512] else 0
+    end = data.index(b"\n", pos)
+    dims = data[pos:end].split()
+    h, w = int(dims[1]), int(dims[3])
+    p = end + 1
+    out = np.zeros((h, w, 4), np.uint8)
+    for y in range(h):
+        if data[p] == 2 and data[p + 1] == 2 and (data[p + 2] << 8 | data[p + 3]) == w:
+            p += 4
+            for ch in range(4):
+                x = 0
+                while x < w:
+                    count = data[p]; p += 1
+                    if count > 128:
+                        out[y, x:x + count - 128, ch] = data[p]
+                        p += 1
+                        x += count - 128
+                    else:
+                        out[y, x:x + count, ch] = np.frombuffer(
+                            data[p:p + count], np.uint8)
+                        p += count
+                        x += count
+        else:
+            row = np.frombuffer(data[p:p + 4 * w], np.uint8).reshape(w, 4)
+            out[y] = row
+            p += 4 * w
+    e = out[..., 3].astype(np.int32)
+    scale = np.where(e > 0, np.exp2(e - 136).astype(np.float64), 0.0)
+    return (out[..., :3].astype(np.float32) + 0.5) * scale[..., None].astype(np.float32)
+
+
+def read_image(path: str) -> np.ndarray:
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".hdr":
+        return read_hdr(path)
+    return read_png(path)
+
+
+def tonemap(accum: np.ndarray, iterations: int) -> np.ndarray:
+    """accum[H,W,3] float sums -> uint8, reference semantics:
+    clamp(pix/iter, 0, 1)*255, no gamma (src/image.cpp:28, src/pathtrace.cu:58-60)."""
+    img = np.clip(np.asarray(accum, np.float64) / max(int(iterations), 1), 0.0, 1.0)
+    return (img * 255.0).astype(np.uint8)
+
+
+def save_render(path_base: str, accum: np.ndarray, iterations: int,
+                hdr: bool = False) -> str:
+    """saveImage parity (reference: src/main.cpp:78-99): mean over samples,
+    x-mirror, write `<base>.png`."""
+    img = np.asarray(accum, np.float32)[:, ::-1, :] / max(int(iterations), 1)
+    if hdr:
+        out = path_base + ".hdr"
+        write_hdr(out, img)
+    else:
+        out = path_base + ".png"
+        write_png(out, (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8))
+    return out

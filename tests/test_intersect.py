@@ -1,0 +1,124 @@
+"""Intersection-stage unit tests vs analytic cases (SURVEY §4: slab/quadratic
+math from reference src/intersections.h:27-144, world-distance return, 1e-4
+back-off, interior-hit normal flip)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from project3_cuda_path_tracer_tpu.scene import types as T
+from project3_cuda_path_tracer_tpu.utils import math as m
+from project3_cuda_path_tracer_tpu.ops import intersect as isect
+
+
+def make_geoms(entries):
+    """entries: list of (type, material, trans, rot, scale)."""
+    tr = np.stack([m.build_transformation_matrix(t, r, s)
+                   for _, _, t, r, s in entries])
+    return T.Geoms(
+        type=jnp.array([e[0] for e in entries], jnp.int32),
+        material_id=jnp.array([e[1] for e in entries], jnp.int32),
+        transform=jnp.asarray(tr),
+        inverse_transform=jnp.asarray(np.stack([m.inverse(x) for x in tr])),
+        inverse_transpose=jnp.asarray(
+            np.stack([m.inverse_transpose(x) for x in tr])),
+        velocity=jnp.zeros((len(entries), 3), jnp.float32),
+        mesh_id=-jnp.ones((len(entries),), jnp.int32),
+    )
+
+
+def shoot(geoms, o, d):
+    o = jnp.asarray(o, jnp.float32).reshape(-1, 3)
+    d = jnp.asarray(d, jnp.float32).reshape(-1, 3)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t = jnp.zeros((o.shape[0],), jnp.float32)
+    return isect.intersect_scene(o, d, t, geoms, T.MeshBundle.empty(), ())
+
+
+def test_unit_sphere_head_on():
+    g = make_geoms([(T.SPHERE, 0, (0, 0, 0), (0, 0, 0), (1, 1, 1))])
+    h = shoot(g, [0, 0, 5], [0, 0, -1])
+    # r=0.5 canonical sphere: front face at z=0.5 -> t=4.5 (minus back-off)
+    assert float(h.t[0]) == pytest.approx(4.5, abs=1e-3)
+    np.testing.assert_allclose(np.asarray(h.normal[0]), [0, 0, 1], atol=1e-4)
+    assert bool(h.outside[0])
+
+
+def test_sphere_interior_hit_flips_normal():
+    g = make_geoms([(T.SPHERE, 0, (0, 0, 0), (0, 0, 0), (2, 2, 2))])
+    h = shoot(g, [0, 0, 0], [0, 0, -1])  # origin at center, radius 1
+    assert float(h.t[0]) == pytest.approx(1.0, abs=1e-3)
+    # geometric normal at (0,0,-1) is (0,0,-1); interior hit flips to (0,0,1)
+    np.testing.assert_allclose(np.asarray(h.normal[0]), [0, 0, 1], atol=1e-4)
+    assert not bool(h.outside[0])
+
+
+def test_unit_cube_face_and_normal():
+    g = make_geoms([(T.CUBE, 3, (0, 0, 0), (0, 0, 0), (2, 2, 2))])
+    h = shoot(g, [5, 0.3, 0.2], [-1, 0, 0])
+    assert float(h.t[0]) == pytest.approx(4.0, abs=1e-3)
+    np.testing.assert_allclose(np.asarray(h.normal[0]), [1, 0, 0], atol=1e-4)
+    assert int(h.mat_id[0]) == 3
+
+
+def test_cube_interior_hit():
+    g = make_geoms([(T.CUBE, 0, (0, 0, 0), (0, 0, 0), (4, 4, 4))])
+    h = shoot(g, [0, 0, 0], [1, 0, 0])
+    assert float(h.t[0]) == pytest.approx(2.0, abs=1e-3)
+    assert not bool(h.outside[0])
+
+
+def test_miss_returns_minus_one():
+    g = make_geoms([(T.SPHERE, 0, (0, 0, 0), (0, 0, 0), (1, 1, 1))])
+    h = shoot(g, [0, 0, 5], [0, 0, 1])
+    assert float(h.t[0]) == -1.0
+
+
+def test_nearest_of_two():
+    g = make_geoms([
+        (T.SPHERE, 0, (0, 0, 0), (0, 0, 0), (1, 1, 1)),
+        (T.SPHERE, 1, (0, 0, 2), (0, 0, 0), (1, 1, 1)),
+    ])
+    h = shoot(g, [0, 0, 5], [0, 0, -1])
+    assert int(h.mat_id[0]) == 1  # closer sphere at z=2
+    assert float(h.t[0]) == pytest.approx(2.5, abs=1e-3)
+
+
+def test_world_distance_under_nonuniform_scale():
+    """Reference convention: t is world-space distance even when object-space
+    direction is renormalized (src/intersections.h:87,143)."""
+    g = make_geoms([(T.CUBE, 0, (0, 0, 0), (0, 0, 0), (0.01, 10, 10))])
+    h = shoot(g, [3, 0, 0], [-1, 0, 0])
+    assert float(h.t[0]) == pytest.approx(3 - 0.005, abs=1e-3)
+    np.testing.assert_allclose(np.asarray(h.normal[0]), [1, 0, 0], atol=1e-4)
+
+
+def test_rotated_cube():
+    g = make_geoms([(T.CUBE, 0, (0, 0, 0), (0, 0, 45), (2, 2, 2))])
+    h = shoot(g, [5, 0, 0], [-1, 0, 0])
+    # 45deg-rotated square of half-diagonal sqrt(2): corner at x=sqrt(2)
+    assert float(h.t[0]) == pytest.approx(5 - np.sqrt(2), abs=1e-2)
+
+
+def test_transformed_sphere_normal():
+    g = make_geoms([(T.SPHERE, 0, (1, 2, 3), (0, 0, 0), (2, 2, 2))])
+    h = shoot(g, [1, 2, 10], [0, 0, -1])
+    assert float(h.t[0]) == pytest.approx(6.0, abs=1e-3)
+    np.testing.assert_allclose(np.asarray(h.point[0]), [1, 2, 4], atol=1e-3)
+
+
+def test_motion_blur_shifts_hit():
+    g = make_geoms([(T.SPHERE, 0, (0, 0, 0), (0, 0, 0), (2, 2, 2))])
+    g = T.Geoms(**{**g._asdict(), "velocity": jnp.array([[2.0, 0, 0]])}) \
+        if hasattr(g, "_asdict") else g
+    # dataclass: rebuild with velocity set
+    import dataclasses
+    g = dataclasses.replace(g, velocity=jnp.array([[2.0, 0.0, 0.0]]))
+    o = jnp.array([[0, 0, 5]], jnp.float32)
+    d = jnp.array([[0, 0, -1]], jnp.float32)
+    h0 = isect.intersect_scene(o, d, jnp.zeros((1,)), g,
+                               T.MeshBundle.empty(), ())
+    h1 = isect.intersect_scene(o, d, jnp.ones((1,)), g,
+                               T.MeshBundle.empty(), ())
+    assert float(h0.t[0]) == pytest.approx(4.0, abs=1e-3)  # t=0: centered
+    assert float(h1.t[0]) == -1.0  # t=1: sphere moved 2 units away in x

@@ -1,0 +1,120 @@
+"""Integrator-level property tests (SURVEY §4): direct-light exactness,
+white-furnace energy conservation, cornell statistics, sort/compact
+invariance, determinism."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from project3_cuda_path_tracer_tpu import load_scene
+from project3_cuda_path_tracer_tpu.render import integrator as I
+from project3_cuda_path_tracer_tpu.scene import types as T
+
+
+@pytest.fixture(scope="module")
+def cornell_small():
+    s = load_scene("/root/reference/scenes/cornell.txt")
+    s.camera.resolution = (32, 32)
+    s.camera.derive()
+    return s
+
+
+def render(scene, spp, **settings_kw):
+    st = T.RenderSettings(**{**scene.settings.__dict__, **settings_kw})
+    r = I.Renderer(scene, settings=st)
+    r.render(spp)
+    return r.image()
+
+
+def test_direct_light_pixel_exact(cornell_small):
+    """A pixel covering the light reads exactly emittance*color = 5 before
+    tonemap clamp (reference semantics: shade emissive multiplies throughput,
+    src/pathtrace.cu:250-253)."""
+    img = render(cornell_small, 4, antialias=False)
+    # light spans x in [-1.5,1.5], z in [-1.5,1.5] at y=9.85; find its pixels
+    assert img.max() == pytest.approx(5.0, abs=1e-4)
+
+
+def test_sphere_scene_background_black():
+    s = load_scene("/root/reference/scenes/sphere.txt")
+    s.camera.resolution = (16, 16)
+    s.camera.derive()
+    img = render(s, 2, antialias=False)
+    # corners miss everything -> exactly 0 (BACKGROUND_COLOR black,
+    # reference src/sceneStructs.h:8)
+    assert img[0, 0].max() == 0.0
+    assert img.max() == pytest.approx(5.0, abs=1e-4)
+
+
+def test_white_furnace(tmp_path):
+    """Inside a closed emissive box every path hits the light on bounce 1:
+    radiance = emittance exactly, zero variance."""
+    f = tmp_path / "furnace.txt"
+    f.write_text("""MATERIAL 0
+RGB 1 1 1
+EMITTANCE 1
+
+CAMERA
+RES 8 8
+FOVY 45
+ITERATIONS 4
+DEPTH 3
+FILE furnace
+EYE 0 0 0
+LOOKAT 0 0 -1
+UP 0 1 0
+
+OBJECT 0
+cube
+material 0
+TRANS 0 0 0
+ROTAT 0 0 0
+SCALE 4 4 4
+""")
+    s = load_scene(str(f))
+    img = render(s, 4, antialias=False)
+    np.testing.assert_allclose(img, 1.0, atol=1e-5)
+
+
+def test_cornell_region_statistics(cornell_small):
+    """Low-spp cornell must show the structural features of the golden
+    image: bright light, lit back wall, red-tinted left wall, green-tinted
+    right wall (x-mirrored output), nonzero floor."""
+    img = render(cornell_small, 64)
+    h = w = 32
+    light = img[6:9, 13:19]
+    assert light.mean() > 2.0
+    back = img[14:18, 14:18].mean(axis=(0, 1))
+    assert back.mean() > 0.15
+    left = img[14:18, 1:4].mean(axis=(0, 1))
+    right = img[14:18, 28:31].mean(axis=(0, 1))
+    assert left[0] > 1.5 * left[2]   # red dominant
+    assert right[1] > 1.5 * right[0]  # green dominant
+    floor = img[28:31, 14:18].mean(axis=(0, 1))
+    assert floor.mean() > 0.05
+
+
+def test_deterministic_given_seed(cornell_small):
+    a = render(cornell_small, 2, seed=7)
+    b = render(cornell_small, 2, seed=7)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sort_compact_preserve_image(cornell_small):
+    """Material sorting / compaction are perf features; the estimator must
+    be unchanged (same RNG per path order... they permute lanes, so compare
+    statistically)."""
+    base = render(cornell_small, 48, sort_materials=False, compact=False)
+    srt = render(cornell_small, 48, sort_materials=True, compact=True)
+    # Means converge to the same image; allow Monte Carlo noise at 48spp.
+    assert np.abs(base.mean() - srt.mean()) < 0.02
+    assert np.abs(base - srt).mean() < 0.12
+
+
+def test_mirror_reflects(cornell_small):
+    """The specular sphere (REFL=1) must show reflected wall colors, not its
+    own albedo shading (reference mirror material: scenes/cornell.txt:41-49)."""
+    img = render(cornell_small, 32)
+    # sphere center in image ~ (y=18..24, x=17..21) after mirror; just check
+    # the image has nonzero energy in the sphere region
+    assert img[18:24, 16:22].mean() > 0.02

@@ -1,0 +1,64 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh
+(SURVEY §7 step 7: CPU-emulated mesh first)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from project3_cuda_path_tracer_tpu import load_scene
+from project3_cuda_path_tracer_tpu.parallel.sharding import (
+    make_mesh, ShardedRenderer)
+from project3_cuda_path_tracer_tpu.render.integrator import Renderer
+
+
+@pytest.fixture(scope="module")
+def cornell_32():
+    s = load_scene("/root/reference/scenes/cornell.txt")
+    s.camera.resolution = (32, 32)
+    s.camera.derive()
+    s.settings.trace_depth = 4
+    return s
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_matches_single_device(cornell_32):
+    single = Renderer(cornell_32)
+    single.render(4, seed=5)
+    sharded = ShardedRenderer(cornell_32)
+    sharded.render(4, seed=5)
+    a = single.image()
+    b = sharded.image()
+    # Same RNG stream, same math; sharding must not change the estimator.
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_accumulator_is_actually_sharded(cornell_32):
+    sharded = ShardedRenderer(cornell_32)
+    sharded.step()
+    sh = sharded.accum.sharding
+    assert not sh.is_fully_replicated
+    # row-sharded: each device owns 32/8 = 4 rows
+    shard_shape = sh.shard_shape(sharded.accum.shape)
+    assert shard_shape[0] == 4
+
+
+def test_indivisible_height_rejected(cornell_32):
+    import copy
+    s = load_scene("/root/reference/scenes/cornell.txt")
+    s.camera.resolution = (30, 30)
+    s.camera.derive()
+    with pytest.raises(ValueError):
+        ShardedRenderer(s)
+
+
+def test_submesh(cornell_32):
+    mesh = make_mesh(num_devices=4)
+    r = ShardedRenderer(cornell_32, mesh=mesh)
+    r.render(2, seed=1)
+    img = r.image()
+    assert np.isfinite(img).all()
+    assert img.max() > 0
