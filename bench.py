@@ -1,10 +1,11 @@
-"""Canonical benchmark: forward rays/s on Cornell 800x800 depth-8.
+"""Canonical benchmark (BASELINE.json north star): forward+backward
+path-segments/s per chip on Cornell 800x800 depth-8 — one differentiable
+train step = render one full iteration + backprop pixel-MSE gradients into
+material + camera parameters.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no numbers (BASELINE.md: "published": {}), so this
-run *establishes* the baseline; vs_baseline is reported relative to the
-first recorded value in BASELINE.md's target table (1.0 = parity with our
-own round-1 number).
+The reference publishes no numbers (BASELINE.md: "published": {}), so round 1
+*establishes* the baseline; vs_baseline is relative to the round-1 value.
 """
 from __future__ import annotations
 
@@ -14,40 +15,54 @@ import time
 
 WIDTH = HEIGHT = 800
 DEPTH = 8
-WARMUP_ITERS = 2
-TIMED_ITERS = 20
+TIMED_STEPS = 10
 
-# Round-1 recorded value (path segments/s, fwd). Update when re-baselined.
-ROUND1_BASELINE = None  # set after first bench run on real hardware
+# Round-1 recorded values on one TPU v5e chip (via axon):
+#   forward-only: 6.49e8 path-segments/s (500spp in 3.9s)
+#   fwd+bwd train step: 1.05e8 path-segments/s (48.6 ms/step)
+ROUND1_BASELINE_FWDBWD = 1.05e8
 
 
 def main() -> int:
+    import numpy as np
     import jax
+    import jax.numpy as jnp
     from project3_cuda_path_tracer_tpu import load_scene
-    from project3_cuda_path_tracer_tpu.render.integrator import Renderer
+    from project3_cuda_path_tracer_tpu.render.integrator import TraceConfig
+    from project3_cuda_path_tracer_tpu.models.inverse import (
+        RenderParams, make_train_step)
 
     scene = load_scene("scenes/cornell.txt")
     assert scene.camera.resolution == (WIDTH, HEIGHT)
-    scene.settings.trace_depth = DEPTH
 
-    r = Renderer(scene)
-    for _ in range(WARMUP_ITERS):
-        r.step()
-    r.accum.block_until_ready()
+    gt = tuple(int(t) for t in np.asarray(scene.geoms.type))
+    cfg = TraceConfig(width=WIDTH, height=HEIGHT, trace_depth=DEPTH,
+                      antialias=True, geom_types=gt)
+    opt, step = make_train_step(scene.geoms, scene.meshes, scene.textures,
+                                cfg)
+    params = RenderParams(materials=scene.materials,
+                          cam=scene.camera.flat())
+    opt_state = opt.init(params)
+    target = jnp.zeros((HEIGHT, WIDTH, 3), jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    # warmup/compile
+    params, opt_state, loss = step(params, opt_state, key, target)
+    jax.block_until_ready(loss)
 
     t0 = time.perf_counter()
-    for _ in range(TIMED_ITERS):
-        r.step()
-    r.accum.block_until_ready()
+    for i in range(TIMED_STEPS):
+        params, opt_state, loss = step(params, opt_state,
+                                       jax.random.fold_in(key, i), target)
+    jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 
-    rays_per_s = TIMED_ITERS * WIDTH * HEIGHT * DEPTH / dt
-    vs = rays_per_s / ROUND1_BASELINE if ROUND1_BASELINE else 1.0
+    segs_per_s = TIMED_STEPS * WIDTH * HEIGHT * DEPTH / dt
     print(json.dumps({
-        "metric": "cornell_800x800_depth8_fwd_path_segments_per_s",
-        "value": round(rays_per_s, 1),
+        "metric": "cornell_800x800_depth8_fwdbwd_path_segments_per_s",
+        "value": round(segs_per_s, 1),
         "unit": "rays/s",
-        "vs_baseline": round(vs, 4),
+        "vs_baseline": round(segs_per_s / ROUND1_BASELINE_FWDBWD, 4),
     }))
     return 0
 

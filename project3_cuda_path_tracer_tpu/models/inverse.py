@@ -87,13 +87,14 @@ class InverseRenderer:
                  trace_depth: Optional[int] = None, seed: int = 0):
         import optax
         w, h = scene.camera.resolution
-        mesh_idx = tuple(
-            int(i) for i in np.nonzero(np.asarray(scene.geoms.type) == T.MESH)[0])
+        types = np.asarray(scene.geoms.type)
+        mesh_idx = tuple(int(i) for i in np.nonzero(types == T.MESH)[0])
         self.cfg = integ.TraceConfig(
             width=w, height=h,
             trace_depth=trace_depth or scene.settings.trace_depth,
             antialias=scene.settings.antialias,
-            mesh_geom_indices=mesh_idx)
+            mesh_geom_indices=mesh_idx,
+            geom_types=tuple(int(t) for t in types))
         self.scene = scene
         self.target = jnp.asarray(target, jnp.float32)
         self.params = RenderParams(materials=scene.materials,

@@ -337,6 +337,94 @@ def mesh_hit(ray_o, ray_d, times, geoms: T.Geoms, meshes: T.MeshBundle,
 # Scene-level dispatch
 # ---------------------------------------------------------------------------
 
+def _primitive_hit_one(ray_o, ray_d, times, geoms: T.Geoms, g: int,
+                       gtype: int):
+    """Full hit record of ONE primitive geom (static index + type) against
+    the wavefront. All arrays are [N]-shaped; with the geom index static the
+    transform rows are scalars and XLA fuses the whole test into one
+    elementwise pipeline — the TPU analog of the reference's per-thread geom
+    loop (src/pathtrace.cu:176-199) without materializing [N,G] anything."""
+    inv = geoms.inverse_transform[g]
+    fwd = geoms.transform[g]
+    inv_tr = geoms.inverse_transpose[g]
+    vel = geoms.velocity[g]
+
+    o_shift = ray_o - vel[None, :] * times[:, None]
+    qo = _xform_pt(inv[None], o_shift)
+    qd = _normalize(_xform_dir(inv[None], ray_d))
+
+    if gtype == T.CUBE:
+        t_obj, hit, outside, axis, sign = _box_local(qo, qd)
+        n_local = jax.nn.one_hot(axis, 3, dtype=qo.dtype) * sign[:, None]
+    else:
+        t_obj, hit, outside = _sphere_local(qo, qd)
+
+    ip_obj = qo + (t_obj[:, None] - RAY_EPS) * qd
+    ip_world = _xform_pt(fwd[None], ip_obj) + vel[None, :] * times[:, None]
+    t_world = jnp.linalg.norm(ray_o - ip_world, axis=-1)
+
+    if gtype == T.CUBE:
+        p01 = ip_obj + 0.5
+        uv = jnp.stack([
+            jnp.where(axis == 0, p01[:, 1], p01[:, 0]),
+            jnp.where(axis == 2, p01[:, 1], p01[:, 2]),
+        ], axis=-1)
+    else:
+        n_local = ip_obj * jnp.where(outside, 1.0, -1.0)[:, None]
+        u_sph = 0.5 + jnp.arctan2(ip_obj[:, 2], ip_obj[:, 0]) / (2 * jnp.pi)
+        v_sph = 0.5 + jnp.arcsin(
+            jnp.clip(ip_obj[:, 1] / 0.5, -1, 1)) / jnp.pi
+        uv = jnp.stack([u_sph, v_sph], axis=-1)
+
+    normal = _normalize(_xform_dir(inv_tr[None], n_local))
+    t = jnp.where(hit, t_world, BIG)
+    return Hit(t=t, normal=normal,
+               mat_id=jnp.broadcast_to(geoms.material_id[g], t.shape),
+               point=ip_world, uv=uv, outside=outside)
+
+
+def _merge_hits(best: Hit, cand: Hit) -> Hit:
+    closer = cand.t < best.t
+    c3 = closer[:, None]
+    return Hit(t=jnp.where(closer, cand.t, best.t),
+               normal=jnp.where(c3, cand.normal, best.normal),
+               mat_id=jnp.where(closer, cand.mat_id, best.mat_id),
+               point=jnp.where(c3, cand.point, best.point),
+               uv=jnp.where(c3, cand.uv, best.uv),
+               outside=jnp.where(closer, cand.outside, best.outside))
+
+
+def intersect_scene_fused(ray_o, ray_d, times, geoms: T.Geoms,
+                          meshes: T.MeshBundle,
+                          geom_types: tuple) -> Hit:
+    """Single-pass nearest-hit over all geoms, statically unrolled.
+
+    `geom_types` is the static tuple of GeomType per geom slot (known at
+    trace time), so each primitive's test compiles to exactly its own math
+    and everything fuses into one pass over the wavefront. Preferred over
+    the two-pass `intersect_scene` on TPU: no [N,G] intermediates, no
+    per-ray transform gathers.
+    """
+    n = ray_o.shape[0]
+    best = Hit(t=jnp.full((n,), BIG, jnp.float32),
+               normal=jnp.zeros((n, 3), jnp.float32),
+               mat_id=jnp.zeros((n,), jnp.int32),
+               point=jnp.zeros((n, 3), jnp.float32),
+               uv=jnp.zeros((n, 2), jnp.float32),
+               outside=jnp.ones((n,), bool))
+    for g, gtype in enumerate(geom_types):
+        if gtype == T.MESH:
+            cand = mesh_hit(ray_o, ray_d, times, geoms, meshes, g)
+        else:
+            cand = _primitive_hit_one(ray_o, ray_d, times, geoms, g, gtype)
+        best = _merge_hits(best, cand)
+
+    miss = best.t >= BIG
+    return Hit(t=jnp.where(miss, -1.0, best.t), normal=best.normal,
+               mat_id=jnp.where(miss, 0, best.mat_id), point=best.point,
+               uv=best.uv, outside=best.outside)
+
+
 def intersect_scene(ray_o, ray_d, times, geoms: T.Geoms,
                     meshes: T.MeshBundle, mesh_geom_indices=()) -> Hit:
     """Nearest-hit query for the whole wavefront (reference:

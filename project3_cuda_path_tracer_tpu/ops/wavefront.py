@@ -1,0 +1,388 @@
+"""Planar (component-SoA) wavefront kernels: ray-gen, intersect, shade.
+
+This is the production hot path. The [N,3]-based modules (ops/camera,
+ops/intersect, ops/bsdf) remain as readable reference oracles; tests assert
+these planar kernels match them. Differences are purely mechanical:
+
+  * every 3-vector is a `vec.V3` of flat [N] planes (full 128-lane VPU
+    utilization, see ops/vec.py);
+  * no cross-lane ops: the reference's argmax/argmin + take_along_axis axis
+    selection (slab test) becomes explicit 3-way comparison selects —
+    element gathers are the slowest thing one can do on a TPU VPU;
+  * per-geom scene constants are scalars (static geom index), so XLA
+    constant-folds the transform rows into the fused elementwise pipeline;
+  * material table lookups unroll into masked selects over the (static,
+    small) material count instead of [N]-sized gathers.
+
+Reference parity: same math as src/intersections.h:27-144 (slab + quadratic
+in object space, world-distance t, 1e-4 back-off, interior normal flips) and
+the scatterRay contract of src/interactions.h:44-79.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import vec
+from .vec import V3
+from ..scene import types as T
+from ..utils.math import SQRT_OF_ONE_THIRD, TWO_PI, RAY_EPS
+
+BIG = jnp.float32(1e30)
+
+
+# ---------------------------------------------------------------------------
+# Ray generation (reference: src/pathtrace.cu:122-143 + AA/DoF/motion TODOs)
+# ---------------------------------------------------------------------------
+
+def generate_rays_planar(cam: dict, width: int, height: int, key: jax.Array,
+                         antialias: bool = True):
+    """Primary rays as (origin V3, dir V3, time [N])."""
+    n = width * height
+    idx = jnp.arange(n, dtype=jnp.int32)
+    x = (idx % width).astype(jnp.float32)
+    y = (idx // width).astype(jnp.float32)
+
+    k_aa, k_lens, k_time = jax.random.split(key, 3)
+    if antialias:
+        jit_xy = jax.random.uniform(k_aa, (2, n), jnp.float32)
+        x = x + jit_xy[0]
+        y = y + jit_xy[1]
+
+    view = vec.from_rows(cam["view"])
+    right = vec.from_rows(cam["right"])
+    up = vec.from_rows(cam["up"])
+    plx, ply = cam["pixel_length"][0], cam["pixel_length"][1]
+
+    sx = plx * (x - width * 0.5)
+    sy = ply * (y - height * 0.5)
+    d = vec.normalize(V3(view.x - right.x * sx - up.x * sy,
+                         view.y - right.y * sx - up.y * sy,
+                         view.z - right.z * sx - up.z * sy))
+    pos = vec.from_rows(cam["position"])
+    o = vec.splat((pos.x, pos.y, pos.z), like=x)
+
+    aperture = cam["aperture"]
+    focal = cam["focal_distance"]
+    u_lens = jax.random.uniform(k_lens, (2, n), jnp.float32)
+    r = jnp.sqrt(u_lens[0]) * aperture
+    phi = u_lens[1] * TWO_PI
+    lr, lu = r * jnp.cos(phi), r * jnp.sin(phi)
+    o_dof = V3(o.x + right.x * lr + up.x * lu,
+               o.y + right.y * lr + up.y * lu,
+               o.z + right.z * lr + up.z * lu)
+    f = jnp.maximum(focal, 1e-6)
+    focus = V3(o.x + d.x * f, o.y + d.y * f, o.z + d.z * f)
+    d_dof = vec.normalize(focus - o_dof)
+    use_dof = (aperture > 0.0) & (focal > 0.0)
+    o = vec.where(use_dof, o_dof, o)
+    d = vec.where(use_dof, d_dof, d)
+
+    times = jax.random.uniform(k_time, (n,), jnp.float32) * cam["shutter"]
+    return o, d, times
+
+
+# ---------------------------------------------------------------------------
+# Intersection
+# ---------------------------------------------------------------------------
+
+class HitP(NamedTuple):
+    """Planar ShadeableIntersection + shading inputs."""
+    t: jnp.ndarray       # [N]; -1 = miss (after finalize)
+    normal: V3
+    mat_id: jnp.ndarray  # [N] int32
+    point: V3            # backed-off world hit point
+    u: jnp.ndarray       # [N] texture u
+    v: jnp.ndarray       # [N] texture v
+    outside: jnp.ndarray  # [N] bool
+
+
+def _box_local_planar(qo: V3, qd: V3):
+    """Unit-cube slab test (reference: src/intersections.h:48-90) with the
+    axis argmax/argmin replaced by comparison selects."""
+    inv = V3(1.0 / qd.x, 1.0 / qd.y, 1.0 / qd.z)  # inf on axis-parallel: ok
+    t1 = V3((-0.5 - qo.x) * inv.x, (-0.5 - qo.y) * inv.y,
+            (-0.5 - qo.z) * inv.z)
+    t2 = V3((0.5 - qo.x) * inv.x, (0.5 - qo.y) * inv.y, (0.5 - qo.z) * inv.z)
+    ta = V3(jnp.minimum(t1.x, t2.x), jnp.minimum(t1.y, t2.y),
+            jnp.minimum(t1.z, t2.z))
+    tb = V3(jnp.maximum(t1.x, t2.x), jnp.maximum(t1.y, t2.y),
+            jnp.maximum(t1.z, t2.z))
+    sign = V3(jnp.where(t2.x < t1.x, 1.0, -1.0),
+              jnp.where(t2.y < t1.y, 1.0, -1.0),
+              jnp.where(t2.z < t1.z, 1.0, -1.0))
+
+    tap = V3(jnp.where(ta.x > 0, ta.x, -BIG),
+             jnp.where(ta.y > 0, ta.y, -BIG),
+             jnp.where(ta.z > 0, ta.z, -BIG))
+    tmin = jnp.maximum(tap.x, jnp.maximum(tap.y, tap.z))
+    tmax = jnp.minimum(tb.x, jnp.minimum(tb.y, tb.z))
+
+    hit = (tmax >= tmin) & (tmax > 0)
+    outside = tmin > 0
+    t_obj = jnp.where(outside, tmin, tmax)
+
+    # entering face (outside) picks argmax of tap; exiting face (inside)
+    # picks argmin of tb — both via equality selects with x>y>z tie priority
+    ex = jnp.where(outside, tap.x == tmin, tb.x == tmax)
+    ey = (~ex) & jnp.where(outside, tap.y == tmin, tb.y == tmax)
+    ez = ~(ex | ey)
+    n_local = V3(jnp.where(ex, sign.x, 0.0),
+                 jnp.where(ey, sign.y, 0.0),
+                 jnp.where(ez, sign.z, 0.0))
+    return t_obj, hit, outside, n_local, ex, ez
+
+
+def _sphere_local_planar(qo: V3, qd: V3):
+    """r=0.5 sphere quadratic (reference: src/intersections.h:102-144)."""
+    v_dot_d = vec.dot(qo, qd)
+    radicand = v_dot_d * v_dot_d - (vec.dot(qo, qo) - 0.25)
+    has_root = radicand >= 0
+    s = jnp.sqrt(jnp.maximum(radicand, 0.0))
+    t1 = -v_dot_d + s
+    t2 = -v_dot_d - s
+    both_neg = (t1 < 0) & (t2 < 0)
+    both_pos = (t1 > 0) & (t2 > 0)
+    t_obj = jnp.where(both_pos, jnp.minimum(t1, t2), jnp.maximum(t1, t2))
+    return t_obj, has_root & ~both_neg, both_pos
+
+
+def _primitive_hit_planar(o: V3, d: V3, times, geoms: T.Geoms, g: int,
+                          gtype: int) -> HitP:
+    """One static primitive vs the wavefront, fully elementwise."""
+    inv = geoms.inverse_transform[g]
+    fwd = geoms.transform[g]
+    inv_tr = geoms.inverse_transpose[g]
+    velx, vely, velz = (geoms.velocity[g, 0], geoms.velocity[g, 1],
+                        geoms.velocity[g, 2])
+
+    o_shift = V3(o.x - velx * times, o.y - vely * times, o.z - velz * times)
+    qo = vec.xform_pt(inv, o_shift)
+    qd = vec.normalize(vec.xform_dir(inv, d))
+
+    if gtype == T.CUBE:
+        t_obj, hit, outside, n_local, ex, ez = _box_local_planar(qo, qd)
+    else:
+        t_obj, hit, outside = _sphere_local_planar(qo, qd)
+
+    tb = t_obj - RAY_EPS
+    ip_obj = V3(qo.x + tb * qd.x, qo.y + tb * qd.y, qo.z + tb * qd.z)
+    ip_world = vec.xform_pt(fwd, ip_obj)
+    ip_world = V3(ip_world.x + velx * times, ip_world.y + vely * times,
+                  ip_world.z + velz * times)
+    t_world = vec.norm(o - ip_world)
+
+    if gtype == T.CUBE:
+        u = jnp.where(ex, ip_obj.y, ip_obj.x) + 0.5
+        v = jnp.where(ez, ip_obj.y, ip_obj.z) + 0.5
+    else:
+        flip = jnp.where(outside, 1.0, -1.0)
+        n_local = V3(ip_obj.x * flip, ip_obj.y * flip, ip_obj.z * flip)
+        u = 0.5 + jnp.arctan2(ip_obj.z, ip_obj.x) / (2 * jnp.pi)
+        v = 0.5 + jnp.arcsin(jnp.clip(ip_obj.y / 0.5, -1.0, 1.0)) / jnp.pi
+
+    normal = vec.normalize(vec.xform_dir(inv_tr, n_local))
+    return HitP(t=jnp.where(hit, t_world, BIG), normal=normal,
+                mat_id=jnp.broadcast_to(geoms.material_id[g], t_world.shape),
+                point=ip_world, u=u, v=v, outside=outside)
+
+
+def _mesh_hit_planar(o: V3, d: V3, times, geoms: T.Geoms,
+                     meshes: T.MeshBundle, g: int) -> HitP:
+    """MESH geom via the BVH traversal (row-major internally for the gather
+    -heavy tree walk; converted at the boundary)."""
+    from . import intersect as isect_rows
+    h = isect_rows.mesh_hit(vec.to_rows(o), vec.to_rows(d), times, geoms,
+                            meshes, g)
+    return HitP(t=h.t, normal=vec.from_rows(h.normal), mat_id=h.mat_id,
+                point=vec.from_rows(h.point), u=h.uv[:, 0], v=h.uv[:, 1],
+                outside=h.outside)
+
+
+def intersect_planar(o: V3, d: V3, times, geoms: T.Geoms,
+                     meshes: T.MeshBundle, geom_types: Tuple[int, ...]
+                     ) -> HitP:
+    """Nearest hit over all geoms (statically unrolled merge;
+    reference loop: src/pathtrace.cu:176-199)."""
+    n = o.x.shape[0]
+    best = HitP(t=jnp.full((n,), BIG, jnp.float32),
+                normal=V3(*(jnp.zeros((n,), jnp.float32),) * 3),
+                mat_id=jnp.zeros((n,), jnp.int32),
+                point=V3(*(jnp.zeros((n,), jnp.float32),) * 3),
+                u=jnp.zeros((n,), jnp.float32),
+                v=jnp.zeros((n,), jnp.float32),
+                outside=jnp.ones((n,), bool))
+    for g, gtype in enumerate(geom_types):
+        if gtype == T.MESH:
+            cand = _mesh_hit_planar(o, d, times, geoms, meshes, g)
+        else:
+            cand = _primitive_hit_planar(o, d, times, geoms, g, gtype)
+        closer = cand.t < best.t
+        best = HitP(
+            t=jnp.where(closer, cand.t, best.t),
+            normal=vec.where(closer, cand.normal, best.normal),
+            mat_id=jnp.where(closer, cand.mat_id, best.mat_id),
+            point=vec.where(closer, cand.point, best.point),
+            u=jnp.where(closer, cand.u, best.u),
+            v=jnp.where(closer, cand.v, best.v),
+            outside=jnp.where(closer, cand.outside, best.outside))
+    miss = best.t >= BIG
+    return best._replace(t=jnp.where(miss, -1.0, best.t),
+                         mat_id=jnp.where(miss, 0, best.mat_id))
+
+
+# ---------------------------------------------------------------------------
+# Shading (reference contract: src/interactions.h:44-79, pathtrace.cu:224-266)
+# ---------------------------------------------------------------------------
+
+class ShadeOutP(NamedTuple):
+    origin: V3
+    direction: V3
+    throughput: V3
+    radiance: V3
+    alive: jnp.ndarray
+
+
+def _mat_select(table: jnp.ndarray, mat_id: jnp.ndarray):
+    """Masked-select a [M] or [M,3] material column by per-ray id, unrolled
+    over the static material count (no [N] gathers)."""
+    m_count = table.shape[0]
+    if table.ndim == 1:
+        acc = jnp.broadcast_to(table[0], mat_id.shape)
+        for m in range(1, m_count):
+            acc = jnp.where(mat_id == m, table[m], acc)
+        return acc
+    accs = [jnp.broadcast_to(table[0, c], mat_id.shape) for c in range(3)]
+    for m in range(1, m_count):
+        for c in range(3):
+            accs[c] = jnp.where(mat_id == m, table[m, c], accs[c])
+    return V3(*accs)
+
+
+def cosine_hemisphere_planar(n: V3, u1, u2) -> V3:
+    """calculateRandomDirectionInHemisphere (src/interactions.h:10-42)."""
+    up = jnp.sqrt(u1)
+    over = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+    around = u2 * TWO_PI
+
+    pick_x = jnp.abs(n.x) < SQRT_OF_ONE_THIRD
+    pick_y = (~pick_x) & (jnp.abs(n.y) < SQRT_OF_ONE_THIRD)
+    not_n = V3(jnp.where(pick_x, 1.0, 0.0),
+               jnp.where(pick_y, 1.0, 0.0),
+               jnp.where(pick_x | pick_y, 0.0, 1.0))
+    p1 = vec.normalize(vec.cross(n, not_n))
+    p2 = vec.normalize(vec.cross(n, p1))
+    c = jnp.cos(around) * over
+    s = jnp.sin(around) * over
+    return V3(up * n.x + c * p1.x + s * p2.x,
+              up * n.y + c * p1.y + s * p2.y,
+              up * n.z + c * p1.z + s * p2.z)
+
+
+def reflect_planar(d: V3, n: V3) -> V3:
+    k = 2.0 * vec.dot(d, n)
+    return V3(d.x - k * n.x, d.y - k * n.y, d.z - k * n.z)
+
+
+def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
+                 textures: T.Textures, uniforms: jnp.ndarray,
+                 last_bounce) -> ShadeOutP:
+    """One scattering step over the wavefront; uniforms is [4,N]."""
+    mat_id = hit.mat_id
+    albedo = _mat_select(materials.color, mat_id)
+    # texture override (skipped entirely for untextured scenes — static shape)
+    if textures.atlas.shape[0] > 1 or textures.atlas.shape[1] > 1:
+        from . import bsdf as bsdf_rows
+        tex = bsdf_rows.sample_texture(
+            textures, mat_id, jnp.stack([hit.u, hit.v], -1),
+            vec.to_rows(albedo))
+        albedo = vec.from_rows(tex)
+    spec_color = _mat_select(materials.specular_color, mat_id)
+    emittance = _mat_select(materials.emittance, mat_id)
+    p_refr = jnp.clip(_mat_select(materials.has_refractive, mat_id), 0., 1.)
+    p_spec = (jnp.clip(_mat_select(materials.has_reflective, mat_id), 0., 1.)
+              * (1.0 - p_refr))
+    p_diff = jnp.maximum(1.0 - p_refr - p_spec, 0.0)
+    ior = _mat_select(materials.ior, mat_id)
+
+    hit_ok = hit.t > 0.0
+    is_light = hit_ok & (emittance > 0.0)
+    missed = ~hit_ok
+
+    # env lighting only when enabled (static shape check)
+    if textures.env.shape[0] > 1 or textures.env.shape[1] > 1:
+        from . import bsdf as bsdf_rows
+        env = vec.from_rows(bsdf_rows.sample_env(textures,
+                                                 vec.to_rows(ray_d)))
+    else:
+        e = textures.env[0, 0] * textures.env_enabled
+        env = vec.splat((e[0], e[1], e[2]), like=hit.t)
+
+    lit = alive & is_light
+    mis = alive & missed
+    rad_scale = jnp.where(lit, emittance, 0.0)
+    radiance = V3(
+        jnp.where(lit, throughput.x * albedo.x * rad_scale,
+                  jnp.where(mis, throughput.x * env.x, 0.0)),
+        jnp.where(lit, throughput.y * albedo.y * rad_scale,
+                  jnp.where(mis, throughput.y * env.y, 0.0)),
+        jnp.where(lit, throughput.z * albedo.z * rad_scale,
+                  jnp.where(mis, throughput.z * env.z, 0.0)))
+
+    # --- lobe selection (detached) ----------------------------------------
+    u_lobe = jax.lax.stop_gradient(uniforms[0])
+    take_refr = u_lobe < p_refr
+    take_spec = (~take_refr) & (u_lobe < p_refr + p_spec)
+
+    n = hit.normal
+    d_diff = cosine_hemisphere_planar(n, uniforms[1], uniforms[2])
+    d_spec = reflect_planar(ray_d, n)
+
+    outside = hit.outside
+    safe_ior = jnp.maximum(ior, 1e-6)
+    eta = jnp.where(outside, 1.0 / safe_ior, safe_ior)
+    cos_i = jnp.clip(-vec.dot(ray_d, n), 0.0, 1.0)
+    eta_i = jnp.where(outside, 1.0, ior)
+    eta_t = jnp.where(outside, ior, 1.0)
+    r0 = ((eta_i - eta_t) / (eta_i + eta_t)) ** 2
+    fres = r0 + (1.0 - r0) * (1.0 - cos_i) ** 5
+
+    sin2_t = eta * eta * jnp.maximum(1.0 - cos_i * cos_i, 0.0)
+    tir = sin2_t > 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    k_r = eta * cos_i - cos_t
+    d_refr = V3(eta * ray_d.x + k_r * n.x,
+                eta * ray_d.y + k_r * n.y,
+                eta * ray_d.z + k_r * n.z)
+    u_fres = jax.lax.stop_gradient(uniforms[3])
+    refl_instead = tir | (u_fres < jax.lax.stop_gradient(fres))
+    d_refr = vec.where(refl_instead, d_spec, d_refr)
+
+    new_dir = vec.where(take_refr, d_refr,
+                        vec.where(take_spec, d_spec, d_diff))
+    new_dir = vec.normalize(new_dir)
+    new_dir = V3(jax.lax.stop_gradient(new_dir.x),
+                 jax.lax.stop_gradient(new_dir.y),
+                 jax.lax.stop_gradient(new_dir.z))
+
+    inv_pd = 1.0 / jnp.maximum(p_diff, 1e-6)
+    inv_ps = 1.0 / jnp.maximum(p_spec, 1e-6)
+    inv_pr = 1.0 / jnp.maximum(p_refr, 1e-6)
+    factor = vec.where(
+        take_refr, spec_color * inv_pr,
+        vec.where(take_spec, spec_color * inv_ps, albedo * inv_pd))
+
+    scattering = alive & hit_ok & ~is_light
+    new_throughput = vec.where(scattering, throughput * factor, throughput)
+
+    push = jnp.where(take_refr & ~refl_instead, 2.0 * RAY_EPS, 0.0)
+    new_origin = V3(hit.point.x + push * new_dir.x,
+                    hit.point.y + push * new_dir.y,
+                    hit.point.z + push * new_dir.z)
+
+    still_alive = scattering & ~last_bounce
+    return ShadeOutP(origin=new_origin, direction=new_dir,
+                     throughput=new_throughput, radiance=radiance,
+                     alive=still_alive)

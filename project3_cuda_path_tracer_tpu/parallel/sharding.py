@@ -94,8 +94,8 @@ class ShardedRenderer:
 
         ray_sharding = NamedSharding(self.mesh, P("data"))
         self.accum_sharding = NamedSharding(self.mesh, P("data", None, None))
-        mesh_idx = tuple(
-            int(i) for i in np.nonzero(np.asarray(scene.geoms.type) == T.MESH)[0])
+        types = np.asarray(scene.geoms.type)
+        mesh_idx = tuple(int(i) for i in np.nonzero(types == T.MESH)[0])
         self.cfg = integ.TraceConfig(
             width=w, height=h,
             trace_depth=self.settings.trace_depth,
@@ -104,6 +104,7 @@ class ShardedRenderer:
             compact=self.settings.compact,
             mesh_geom_indices=mesh_idx,
             ray_sharding=ray_sharding,
+            geom_types=tuple(int(t) for t in types),
         )
         self.base_key = jax.random.PRNGKey(self.settings.seed)
         self.reset()

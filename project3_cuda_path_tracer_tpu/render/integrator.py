@@ -38,15 +38,19 @@ from ..ops import camera as cam_ops
 from ..ops import intersect as isect
 from ..ops import bsdf
 from ..ops import compact as compaction
+from ..ops import wavefront as wf
+from ..ops import vec
+from ..ops.vec import V3
 from ..scene import types as T
 from ..utils import image as img_io
 
 
 class PathState(NamedTuple):
-    """SoA PathSegment wavefront (reference: src/sceneStructs.h:62-69)."""
-    origin: jnp.ndarray      # [N,3]
-    direction: jnp.ndarray   # [N,3]
-    throughput: jnp.ndarray  # [N,3] ("color" in the reference)
+    """Planar SoA PathSegment wavefront (reference: src/sceneStructs.h:62-69).
+    Every component is a flat [N] plane (see ops/vec.py for why)."""
+    origin: V3
+    direction: V3
+    throughput: V3           # "color" in the reference
     pixel_index: jnp.ndarray  # [N] int32
     alive: jnp.ndarray       # [N] bool (remainingBounces > 0 analogue)
     time: jnp.ndarray        # [N] motion-blur sample time
@@ -69,9 +73,13 @@ class TraceConfig:
     compact: bool = False
     mesh_geom_indices: Tuple[int, ...] = ()
     ray_sharding: Optional[object] = None
+    # Static per-geom GeomType tuple; when set, the single-pass fused
+    # intersector is used (no [N,G] intermediates — see
+    # ops.intersect.intersect_scene_fused).
+    geom_types: Optional[Tuple[int, ...]] = None
 
 
-def _sort_paths(state: PathState, hit: isect.Hit, keys: jnp.ndarray):
+def _sort_paths(state: PathState, hit: wf.HitP, keys: jnp.ndarray):
     """Stable-sort the wavefront by `keys` (ascending). This is the TPU form
     of both reference idioms: material-key sorting for coherent shading
     (src/pathtrace.cu:366-367) and stream compaction of dead paths
@@ -89,9 +97,10 @@ def trace_wavefront(
     textures: T.Textures,
     key: jax.Array,
     cfg: TraceConfig,
-    first_hit: Optional[isect.Hit] = None,
-) -> jnp.ndarray:
-    """Trace one full iteration; returns per-pixel radiance [N,3].
+    first_hit: Optional[wf.HitP] = None,
+) -> wf.V3:
+    """Trace one full iteration; returns per-pixel radiance as a planar V3
+    of [N] planes.
 
     The pipeline of src/pathtrace.cu:329-381 as one traced program:
     ray-gen, then scan(intersect → [sort] → shade) over trace_depth, with
@@ -100,26 +109,33 @@ def trace_wavefront(
     n = cfg.width * cfg.height
     k_gen, k_bounce = jax.random.split(key)
 
-    o, d, times = cam_ops.generate_rays(cam, cfg.width, cfg.height, k_gen,
-                                        antialias=cfg.antialias)
+    geom_types = cfg.geom_types
+    if geom_types is None:
+        raise ValueError("TraceConfig.geom_types is required (static "
+                         "per-geom type tuple)")
+
+    o, d, times = wf.generate_rays_planar(cam, cfg.width, cfg.height, k_gen,
+                                          antialias=cfg.antialias)
     if cfg.ray_sharding is not None:
-        o = jax.lax.with_sharding_constraint(o, cfg.ray_sharding)
-        d = jax.lax.with_sharding_constraint(d, cfg.ray_sharding)
+        shard = lambda a: jax.lax.with_sharding_constraint(a, cfg.ray_sharding)
+        o = V3(*(shard(c) for c in o))
+        d = V3(*(shard(c) for c in d))
+    ones = jnp.ones((n,), jnp.float32)
+    zeros = jnp.zeros((n,), jnp.float32)
     state = PathState(
         origin=o, direction=d,
-        throughput=jnp.ones((n, 3), jnp.float32),
+        throughput=V3(ones, ones, ones),
         pixel_index=jnp.arange(n, dtype=jnp.int32),
         alive=jnp.ones((n,), bool),
         time=times,
     )
-    radiance = jnp.zeros((n, 3), jnp.float32)
-    permuted = False  # whether pixel_index is still the identity (static)
+    radiance = V3(zeros, zeros, zeros)
 
     def bounce(carry, inp):
         state, radiance = carry
         depth, k_d = inp
-        hit = isect.intersect_scene(state.origin, state.direction, state.time,
-                                    geoms, meshes, cfg.mesh_geom_indices)
+        hit = wf.intersect_planar(state.origin, state.direction, state.time,
+                                  geoms, meshes, geom_types)
         return _shade_and_advance(state, radiance, hit, depth, k_d), None
 
     def _shade_and_advance(state, radiance, hit, depth, k_d):
@@ -128,13 +144,17 @@ def trace_wavefront(
                                                     hit.mat_id)
             state, hit = _sort_paths(state, hit, sort_key)
 
-        uniforms = jax.random.uniform(k_d, (n, 4), jnp.float32)
+        uniforms = jax.random.uniform(k_d, (4, n), jnp.float32)
         last = depth >= (cfg.trace_depth - 1)
-        out = bsdf.shade(hit, state.direction, state.throughput, state.alive,
-                         materials, textures, uniforms,
-                         last_bounce=jnp.broadcast_to(last, state.alive.shape))
+        out = wf.shade_planar(
+            hit, state.direction, state.throughput, state.alive,
+            materials, textures, uniforms,
+            last_bounce=jnp.broadcast_to(last, state.alive.shape))
         if cfg.sort_materials or cfg.compact:
-            radiance = radiance.at[state.pixel_index].add(out.radiance)
+            pix = state.pixel_index
+            radiance = V3(radiance.x.at[pix].add(out.radiance.x),
+                          radiance.y.at[pix].add(out.radiance.y),
+                          radiance.z.at[pix].add(out.radiance.z))
         else:
             radiance = radiance + out.radiance
         state = PathState(origin=out.origin, direction=out.direction,
@@ -168,7 +188,9 @@ def render_radiance(materials, cam, geoms, meshes, textures, key, cfg,
     (reference: src/pathtrace.cu:128,140), so the reshape lands at [y, x]."""
     rad = trace_wavefront(materials, cam, geoms, meshes, textures, key, cfg,
                           first_hit)
-    return rad.reshape(cfg.height, cfg.width, 3)
+    return jnp.stack([rad.x.reshape(cfg.height, cfg.width),
+                      rad.y.reshape(cfg.height, cfg.width),
+                      rad.z.reshape(cfg.height, cfg.width)], axis=-1)
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("accum",))
@@ -197,8 +219,8 @@ class Renderer:
         self.scene = scene
         self.settings = settings or scene.settings
         w, h = scene.camera.resolution
-        mesh_idx = tuple(
-            int(i) for i in np.nonzero(np.asarray(scene.geoms.type) == T.MESH)[0])
+        types = np.asarray(scene.geoms.type)
+        mesh_idx = tuple(int(i) for i in np.nonzero(types == T.MESH)[0])
         self.cfg = TraceConfig(
             width=w, height=h,
             trace_depth=self.settings.trace_depth,
@@ -206,6 +228,7 @@ class Renderer:
             sort_materials=self.settings.sort_materials,
             compact=self.settings.compact,
             mesh_geom_indices=mesh_idx,
+            geom_types=tuple(int(t) for t in types),
         )
         self.base_key = jax.random.PRNGKey(self.settings.seed)
         self.reset()

@@ -19,8 +19,9 @@ def setup():
     s = load_scene("/root/reference/scenes/cornell.txt")
     s.camera.resolution = (16, 16)
     s.camera.derive()
+    gt = tuple(int(x) for x in np.asarray(s.geoms.type))
     cfg = integ.TraceConfig(width=16, height=16, trace_depth=3,
-                            antialias=False)
+                            antialias=False, geom_types=gt)
     key = jax.random.PRNGKey(0)
     params = RenderParams(materials=s.materials, cam=s.camera.flat())
     return s, cfg, key, params
@@ -124,8 +125,9 @@ def test_inverse_rendering_recovers_albedo():
     s = load_scene("/root/reference/scenes/cornell.txt")
     s.camera.resolution = (16, 16)
     s.camera.derive()
-    cfg = integ.TraceConfig(width=16, height=16, trace_depth=3,
-                            antialias=False)
+    gt = tuple(int(x) for x in np.asarray(s.geoms.type))
+    cfg = integ.TraceConfig(width=16, height=16, trace_depth=2,
+                            antialias=False, geom_types=gt)
 
     true_params = RenderParams(materials=s.materials, cam=s.camera.flat())
     # average a few keys for a stable target
@@ -161,10 +163,10 @@ def test_inverse_rendering_recovers_albedo():
 
     key = jax.random.PRNGKey(7)
     tail = []
-    for i in range(150):
+    for i in range(250):
         key, k = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, k)
-        if i >= 90:  # Polyak-average the noisy tail iterates
+        if i >= 150:  # Polyak-average the noisy tail iterates
             tail.append(np.asarray(params.materials.color[1]))
 
     recovered = np.stack(tail).mean(axis=0)

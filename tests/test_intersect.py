@@ -122,3 +122,30 @@ def test_motion_blur_shifts_hit():
                                T.MeshBundle.empty(), ())
     assert float(h0.t[0]) == pytest.approx(4.0, abs=1e-3)  # t=0: centered
     assert float(h1.t[0]) == -1.0  # t=1: sphere moved 2 units away in x
+
+
+def test_fused_matches_two_pass():
+    """The fused single-pass intersector must agree with the two-pass
+    reference implementation on a random wavefront over mixed geoms."""
+    import jax
+    from project3_cuda_path_tracer_tpu import load_scene
+    s = load_scene("/root/reference/scenes/cornell.txt")
+    rng = np.random.default_rng(3)
+    n = 512
+    o = rng.uniform(-6, 11, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    t = jnp.zeros((n,), jnp.float32)
+    gt = tuple(int(x) for x in np.asarray(s.geoms.type))
+    a = isect.intersect_scene(o, d, t, s.geoms, s.meshes, ())
+    b = isect.intersect_scene_fused(o, d, t, s.geoms, s.meshes, gt)
+    np.testing.assert_allclose(np.asarray(a.t), np.asarray(b.t), rtol=1e-4,
+                               atol=1e-4)
+    hit = np.asarray(a.t) > 0
+    np.testing.assert_array_equal(np.asarray(a.mat_id)[hit],
+                                  np.asarray(b.mat_id)[hit])
+    np.testing.assert_allclose(np.asarray(a.normal)[hit],
+                               np.asarray(b.normal)[hit], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.uv)[hit],
+                               np.asarray(b.uv)[hit], atol=1e-4)
