@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compact terminated paths each bounce")
     p.add_argument("--sharded", action="store_true",
                    help="shard pixels across all visible devices")
+    p.add_argument("--megakernel", action="store_true",
+                   help="use the fused Pallas megakernel renderer "
+                        "(primitive scenes, fastest forward path)")
+    p.add_argument("--preview", type=int, default=0, metavar="PORT",
+                   help="serve a live HTTP preview on PORT")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--snapshot-every", type=int, default=0, metavar="N",
                    help="write a progressive PNG every N iterations")
@@ -83,8 +88,23 @@ def main(argv=None) -> int:
     if args.sharded:
         from ..parallel.sharding import ShardedRenderer
         renderer = ShardedRenderer(scene)
+    elif args.megakernel:
+        from ..ops.megakernel import MegakernelRenderer, supports
+        if not supports(scene):
+            print("scene not megakernel-eligible (mesh/texture/env); "
+                  "falling back to the jnp renderer", file=sys.stderr)
+            renderer = Renderer(scene)
+        else:
+            renderer = MegakernelRenderer(scene)
     else:
         renderer = Renderer(scene)
+
+    preview_srv = None
+    if args.preview:
+        from .preview import PreviewServer
+        preview_srv = PreviewServer(renderer, port=args.preview).start()
+        print(f"live preview at http://127.0.0.1:{preview_srv.port}/",
+              file=sys.stderr)
 
     start_iter = 0
     if args.resume:
@@ -138,6 +158,8 @@ def main(argv=None) -> int:
     print(f"saved {out}", file=sys.stderr)
     if args.metrics:
         metrics.emit(final=True, output=out)
+    if preview_srv is not None:
+        preview_srv.stop()
     return 0
 
 

@@ -1,0 +1,523 @@
+"""Pallas TPU megakernel: one whole progressive iteration in ONE kernel.
+
+The wavefront pipeline (ray-gen → depth×(intersect → shade) → gather,
+reference src/pathtrace.cu:284-393) runs entirely inside a single
+`pallas_call`: ray state lives in VMEM for all bounces, the RNG is the
+on-core PRNG (`pltpu.prng_random_bits`), and per-iteration HBM traffic is
+exactly one read+write of the accumulation planes — the reference's
+kernel-per-stage structure (with its per-bounce global-memory round trips)
+is fused away entirely.
+
+Scene data (geom transforms, material table, camera) is *baked into the
+kernel as compile-time constants*: a path tracer's scene is uniform across
+all rays, so every transform element is a scalar the compiler folds into
+the instruction stream — zero loads. One compile per scene (cached by jit).
+
+Scope: primitive scenes (CUBE/SPHERE), no textures/env (static fallback to
+the planar jnp path otherwise — meshes/BVH and textures keep their own
+implementations). Differentiable rendering also uses the jnp path; this
+kernel is the pure-forward fast path the progressive Renderer hits.
+
+Parity: same math as ops/wavefront.py (itself parity-tested against the
+row-based oracles); tests/test_megakernel.py asserts statistical agreement.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene import types as T
+from ..utils.math import SQRT_OF_ONE_THIRD, TWO_PI, RAY_EPS
+
+LANES = 128
+TILE_ROWS = 256          # rays per tile = TILE_ROWS * LANES = 32768
+INV_2_24 = float(2.0 ** -24)
+BIG = 1e30
+
+
+def supports(scene: T.Scene) -> bool:
+    """Static eligibility: primitives only, no textures, no env map."""
+    types = np.asarray(scene.geoms.type)
+    if (types == T.MESH).any():
+        return False
+    tx = scene.textures
+    if tx.atlas.shape[0] > 1 or tx.atlas.shape[1] > 1:
+        return False
+    if tx.env.shape[0] > 1 or tx.env.shape[1] > 1:
+        return False
+    return True
+
+
+def _u01(shape):
+    """Uniform [0,1) floats from the on-core PRNG (24-bit mantissa).
+    uint32 for the logical shift, then int32 for the f32 cast (Mosaic has
+    no uint32->f32)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    top24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+    return top24.astype(jnp.float32) * INV_2_24
+
+
+class _SceneConst:
+    """Host-side numpy snapshot of the scene, exposed as python floats for
+    constant-baking inside the kernel."""
+
+    def __init__(self, scene: T.Scene):
+        g = scene.geoms
+        m = scene.materials
+        self.inv = np.asarray(g.inverse_transform, np.float64)
+        self.fwd = np.asarray(g.transform, np.float64)
+        self.invt = np.asarray(g.inverse_transpose, np.float64)
+        self.vel = np.asarray(g.velocity, np.float64)
+        self.gtype = [int(t) for t in np.asarray(g.type)]
+        self.mat_of = [int(t) for t in np.asarray(g.material_id)]
+        self.color = np.asarray(m.color, np.float64)
+        self.spec_color = np.asarray(m.specular_color, np.float64)
+        self.emittance = np.asarray(m.emittance, np.float64)
+        self.p_refr = np.clip(np.asarray(m.has_refractive, np.float64), 0, 1)
+        self.p_spec = (np.clip(np.asarray(m.has_reflective, np.float64),
+                               0, 1) * (1.0 - self.p_refr))
+        self.p_diff = np.maximum(1.0 - self.p_refr - self.p_spec, 0.0)
+        self.ior = np.asarray(m.ior, np.float64)
+        cam = scene.camera
+        self.cam_pos = np.asarray(cam.position, np.float64)
+        self.cam_view = np.asarray(cam.view, np.float64)
+        self.cam_up = np.asarray(cam.up, np.float64)
+        self.cam_right = np.asarray(cam.right, np.float64)
+        self.pl = np.asarray(cam.pixel_length, np.float64)
+        self.aperture = float(cam.aperture)
+        self.focal = float(cam.focal_distance)
+        self.shutter = float(cam.shutter)
+
+
+def _dot(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _norm3(x, y, z):
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
+    return x * inv, y * inv, z * inv
+
+
+def _xp(M, x, y, z):
+    """Affine point transform with baked scalar matrix rows."""
+    return (M[0][0] * x + M[0][1] * y + M[0][2] * z + M[0][3],
+            M[1][0] * x + M[1][1] * y + M[1][2] * z + M[1][3],
+            M[2][0] * x + M[2][1] * y + M[2][2] * z + M[2][3])
+
+
+def _xd(M, x, y, z):
+    return (M[0][0] * x + M[0][1] * y + M[0][2] * z,
+            M[1][0] * x + M[1][1] * y + M[1][2] * z,
+            M[2][0] * x + M[2][1] * y + M[2][2] * z)
+
+
+def _rows(a):
+    return [[float(v) for v in row] for row in a]
+
+
+def _make_kernel(sc: _SceneConst, width: int, height: int, depth: int,
+                 antialias: bool, n_real: int):
+    """Build the kernel body with everything baked."""
+    G = len(sc.gtype)
+    M = sc.color.shape[0]
+
+    def kernel(seed_ref, ax_ref, ay_ref, az_ref, ox_ref, oy_ref, oz_ref):
+        i = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + i * jnp.int32(0x3E3779B9))
+
+        shape = (TILE_ROWS, LANES)
+        rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        ray_id = (i * TILE_ROWS + rows) * LANES + cols
+        valid = ray_id < n_real
+        px = (ray_id % width).astype(jnp.float32)
+        py = (ray_id // width).astype(jnp.float32)
+
+        # ---- ray generation (reference src/pathtrace.cu:122-143) ---------
+        if antialias:
+            px = px + _u01(shape)
+            py = py + _u01(shape)
+        sx = sc.pl[0] * (px - width * 0.5)
+        sy = sc.pl[1] * (py - height * 0.5)
+        dx = sc.cam_view[0] - sc.cam_right[0] * sx - sc.cam_up[0] * sy
+        dy = sc.cam_view[1] - sc.cam_right[1] * sx - sc.cam_up[1] * sy
+        dz = sc.cam_view[2] - sc.cam_right[2] * sx - sc.cam_up[2] * sy
+        dx, dy, dz = _norm3(dx, dy, dz)
+        ox = jnp.full(shape, float(sc.cam_pos[0]), jnp.float32)
+        oy = jnp.full(shape, float(sc.cam_pos[1]), jnp.float32)
+        oz = jnp.full(shape, float(sc.cam_pos[2]), jnp.float32)
+
+        if sc.aperture > 0.0 and sc.focal > 0.0:
+            r = jnp.sqrt(_u01(shape)) * sc.aperture
+            phi = _u01(shape) * TWO_PI
+            lr = r * jnp.cos(phi)
+            lu = r * jnp.sin(phi)
+            fx = ox + dx * sc.focal
+            fy = oy + dy * sc.focal
+            fz = oz + dz * sc.focal
+            ox = ox + sc.cam_right[0] * lr + sc.cam_up[0] * lu
+            oy = oy + sc.cam_right[1] * lr + sc.cam_up[1] * lu
+            oz = oz + sc.cam_right[2] * lr + sc.cam_up[2] * lu
+            dx, dy, dz = _norm3(fx - ox, fy - oy, fz - oz)
+
+        if sc.shutter > 0.0:
+            tm = _u01(shape) * sc.shutter
+        else:
+            tm = jnp.zeros(shape, jnp.float32)
+
+        thx = jnp.ones(shape, jnp.float32)
+        thy = jnp.ones(shape, jnp.float32)
+        thz = jnp.ones(shape, jnp.float32)
+        alive = valid
+        rad_x = jnp.zeros(shape, jnp.float32)
+        rad_y = jnp.zeros(shape, jnp.float32)
+        rad_z = jnp.zeros(shape, jnp.float32)
+
+        for bounce in range(depth):
+            # ---- intersect: best-hit merge over baked geoms --------------
+            bt = jnp.full(shape, BIG, jnp.float32)
+            bnx = jnp.zeros(shape, jnp.float32)
+            bny = jnp.zeros(shape, jnp.float32)
+            bnz = jnp.zeros(shape, jnp.float32)
+            bpx = jnp.zeros(shape, jnp.float32)
+            bpy = jnp.zeros(shape, jnp.float32)
+            bpz = jnp.zeros(shape, jnp.float32)
+            bmat = jnp.zeros(shape, jnp.int32)
+            bout = jnp.zeros(shape, jnp.bool_)
+
+            for g in range(G):
+                inv = _rows(sc.inv[g])
+                fwd = _rows(sc.fwd[g])
+                ivt = _rows(sc.invt[g])
+                vgx, vgy, vgz = (float(sc.vel[g, 0]), float(sc.vel[g, 1]),
+                                 float(sc.vel[g, 2]))
+                osx = ox - vgx * tm
+                osy = oy - vgy * tm
+                osz = oz - vgz * tm
+                qox, qoy, qoz = _xp(inv, osx, osy, osz)
+                qdx, qdy, qdz = _xd(inv, dx, dy, dz)
+                qdx, qdy, qdz = _norm3(qdx, qdy, qdz)
+
+                if sc.gtype[g] == T.CUBE:
+                    ix = 1.0 / qdx
+                    iy = 1.0 / qdy
+                    iz = 1.0 / qdz
+                    t1x, t2x = (-0.5 - qox) * ix, (0.5 - qox) * ix
+                    t1y, t2y = (-0.5 - qoy) * iy, (0.5 - qoy) * iy
+                    t1z, t2z = (-0.5 - qoz) * iz, (0.5 - qoz) * iz
+                    tax = jnp.minimum(t1x, t2x)
+                    tbx = jnp.maximum(t1x, t2x)
+                    tay = jnp.minimum(t1y, t2y)
+                    tby = jnp.maximum(t1y, t2y)
+                    taz = jnp.minimum(t1z, t2z)
+                    tbz = jnp.maximum(t1z, t2z)
+                    sgx = jnp.where(t2x < t1x, 1.0, -1.0)
+                    sgy = jnp.where(t2y < t1y, 1.0, -1.0)
+                    sgz = jnp.where(t2z < t1z, 1.0, -1.0)
+                    tpx = jnp.where(tax > 0, tax, -BIG)
+                    tpy = jnp.where(tay > 0, tay, -BIG)
+                    tpz = jnp.where(taz > 0, taz, -BIG)
+                    tmin = jnp.maximum(tpx, jnp.maximum(tpy, tpz))
+                    tmax = jnp.minimum(tbx, jnp.minimum(tby, tbz))
+                    hit = (tmax >= tmin) & (tmax > 0)
+                    outside = tmin > 0
+                    t_obj = jnp.where(outside, tmin, tmax)
+                    # logical form (Mosaic can't select_n on i1 vectors)
+                    ex = ((outside & (tpx == tmin))
+                          | (~outside & (tbx == tmax)))
+                    ey = (~ex) & ((outside & (tpy == tmin))
+                                  | (~outside & (tby == tmax)))
+                    ez = ~(ex | ey)
+                    nlx = jnp.where(ex, sgx, 0.0)
+                    nly = jnp.where(ey, sgy, 0.0)
+                    nlz = jnp.where(ez, sgz, 0.0)
+                else:
+                    vdd = _dot(qox, qoy, qoz, qdx, qdy, qdz)
+                    radic = vdd * vdd - (_dot(qox, qoy, qoz, qox, qoy, qoz)
+                                         - 0.25)
+                    has = radic >= 0
+                    sq = jnp.sqrt(jnp.maximum(radic, 0.0))
+                    t1 = -vdd + sq
+                    t2 = -vdd - sq
+                    both_neg = (t1 < 0) & (t2 < 0)
+                    outside = (t1 > 0) & (t2 > 0)
+                    t_obj = jnp.where(outside, jnp.minimum(t1, t2),
+                                      jnp.maximum(t1, t2))
+                    hit = has & ~both_neg
+
+                tb = t_obj - RAY_EPS
+                ipx = qox + tb * qdx
+                ipy = qoy + tb * qdy
+                ipz = qoz + tb * qdz
+                wx, wy, wz = _xp(fwd, ipx, ipy, ipz)
+                wx = wx + vgx * tm
+                wy = wy + vgy * tm
+                wz = wz + vgz * tm
+                ddx = ox - wx
+                ddy = oy - wy
+                ddz = oz - wz
+                t_w = jnp.sqrt(_dot(ddx, ddy, ddz, ddx, ddy, ddz))
+
+                if sc.gtype[g] != T.CUBE:
+                    flip = jnp.where(outside, 1.0, -1.0)
+                    nlx = ipx * flip
+                    nly = ipy * flip
+                    nlz = ipz * flip
+                nx, ny, nz = _xd(ivt, nlx, nly, nlz)
+                nx, ny, nz = _norm3(nx, ny, nz)
+
+                t_w = jnp.where(hit, t_w, BIG)
+                closer = t_w < bt
+                bt = jnp.where(closer, t_w, bt)
+                bnx = jnp.where(closer, nx, bnx)
+                bny = jnp.where(closer, ny, bny)
+                bnz = jnp.where(closer, nz, bnz)
+                bpx = jnp.where(closer, wx, bpx)
+                bpy = jnp.where(closer, wy, bpy)
+                bpz = jnp.where(closer, wz, bpz)
+                bmat = jnp.where(closer, sc.mat_of[g], bmat)
+                bout = (closer & outside) | (~closer & bout)
+
+            hit_ok = bt < BIG
+
+            # ---- material select via baked chains ------------------------
+            def msel(tab, c=None):
+                v = float(tab[0] if c is None else tab[0][c])
+                acc = jnp.full(shape, v, jnp.float32)
+                for mi in range(1, M):
+                    vm = float(tab[mi] if c is None else tab[mi][c])
+                    acc = jnp.where(bmat == mi, vm, acc)
+                return acc
+
+            alb_x = msel(sc.color, 0)
+            alb_y = msel(sc.color, 1)
+            alb_z = msel(sc.color, 2)
+            spc_x = msel(sc.spec_color, 0)
+            spc_y = msel(sc.spec_color, 1)
+            spc_z = msel(sc.spec_color, 2)
+            emit = msel(sc.emittance)
+            prf = msel(sc.p_refr)
+            psp = msel(sc.p_spec)
+            pdf_ = msel(sc.p_diff)
+            ior = msel(sc.ior)
+
+            is_light = hit_ok & (emit > 0.0)
+            lit = alive & is_light
+            litf = jnp.where(lit, emit, 0.0)
+            rad_x = rad_x + thx * alb_x * litf
+            rad_y = rad_y + thy * alb_y * litf
+            rad_z = rad_z + thz * alb_z * litf
+            # (miss: background black, reference src/sceneStructs.h:8)
+
+            if bounce == depth - 1:
+                break
+
+            # ---- scatter -------------------------------------------------
+            u_lobe = _u01(shape)
+            u1 = _u01(shape)
+            u2 = _u01(shape)
+            u_f = _u01(shape)
+
+            take_refr = u_lobe < prf
+            take_spec = (~take_refr) & (u_lobe < prf + psp)
+
+            # cosine hemisphere (reference src/interactions.h:10-42)
+            up = jnp.sqrt(u1)
+            over = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+            around = u2 * TWO_PI
+            pick_x = jnp.abs(bnx) < SQRT_OF_ONE_THIRD
+            pick_y = (~pick_x) & (jnp.abs(bny) < SQRT_OF_ONE_THIRD)
+            nnx = jnp.where(pick_x, 1.0, 0.0)
+            nny = jnp.where(pick_y, 1.0, 0.0)
+            nnz = jnp.where(pick_x | pick_y, 0.0, 1.0)
+            p1x = bny * nnz - bnz * nny
+            p1y = bnz * nnx - bnx * nnz
+            p1z = bnx * nny - bny * nnx
+            p1x, p1y, p1z = _norm3(p1x, p1y, p1z)
+            p2x = bny * p1z - bnz * p1y
+            p2y = bnz * p1x - bnx * p1z
+            p2z = bnx * p1y - bny * p1x
+            p2x, p2y, p2z = _norm3(p2x, p2y, p2z)
+            ca = jnp.cos(around) * over
+            sa = jnp.sin(around) * over
+            ddfx = up * bnx + ca * p1x + sa * p2x
+            ddfy = up * bny + ca * p1y + sa * p2y
+            ddfz = up * bnz + ca * p1z + sa * p2z
+
+            k2 = 2.0 * _dot(dx, dy, dz, bnx, bny, bnz)
+            dspx = dx - k2 * bnx
+            dspy = dy - k2 * bny
+            dspz = dz - k2 * bnz
+
+            safe_ior = jnp.maximum(ior, 1e-6)
+            eta = jnp.where(bout, 1.0 / safe_ior, safe_ior)
+            cos_i = jnp.clip(-_dot(dx, dy, dz, bnx, bny, bnz), 0.0, 1.0)
+            eta_i = jnp.where(bout, 1.0, ior)
+            eta_t = jnp.where(bout, ior, 1.0)
+            r0 = ((eta_i - eta_t) / (eta_i + eta_t)) ** 2
+            one_m = 1.0 - cos_i
+            fres = r0 + (1.0 - r0) * one_m * one_m * one_m * one_m * one_m
+            sin2t = eta * eta * jnp.maximum(1.0 - cos_i * cos_i, 0.0)
+            tir = sin2t > 1.0
+            cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2t, 0.0))
+            kr = eta * cos_i - cos_t
+            drx = eta * dx + kr * bnx
+            dry = eta * dy + kr * bny
+            drz = eta * dz + kr * bnz
+            refl_instead = tir | (u_f < fres)
+            drx = jnp.where(refl_instead, dspx, drx)
+            dry = jnp.where(refl_instead, dspy, dry)
+            drz = jnp.where(refl_instead, dspz, drz)
+
+            ndx = jnp.where(take_refr, drx,
+                            jnp.where(take_spec, dspx, ddfx))
+            ndy = jnp.where(take_refr, dry,
+                            jnp.where(take_spec, dspy, ddfy))
+            ndz = jnp.where(take_refr, drz,
+                            jnp.where(take_spec, dspz, ddfz))
+            ndx, ndy, ndz = _norm3(ndx, ndy, ndz)
+
+            inv_pd = 1.0 / jnp.maximum(pdf_, 1e-6)
+            inv_ps = 1.0 / jnp.maximum(psp, 1e-6)
+            inv_pr = 1.0 / jnp.maximum(prf, 1e-6)
+            fsx = jnp.where(take_refr, spc_x * inv_pr,
+                            jnp.where(take_spec, spc_x * inv_ps,
+                                      alb_x * inv_pd))
+            fsy = jnp.where(take_refr, spc_y * inv_pr,
+                            jnp.where(take_spec, spc_y * inv_ps,
+                                      alb_y * inv_pd))
+            fsz = jnp.where(take_refr, spc_z * inv_pr,
+                            jnp.where(take_spec, spc_z * inv_ps,
+                                      alb_z * inv_pd))
+
+            scattering = alive & hit_ok & ~is_light
+            thx = jnp.where(scattering, thx * fsx, thx)
+            thy = jnp.where(scattering, thy * fsy, thy)
+            thz = jnp.where(scattering, thz * fsz, thz)
+
+            push = jnp.where(take_refr & ~refl_instead, 2.0 * RAY_EPS, 0.0)
+            ox = bpx + push * ndx
+            oy = bpy + push * ndy
+            oz = bpz + push * ndz
+            dx, dy, dz = ndx, ndy, ndz
+            alive = scattering
+
+        ox_ref[:] = ax_ref[:] + rad_x
+        oy_ref[:] = ay_ref[:] + rad_y
+        oz_ref[:] = az_ref[:] + rad_z
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("spec",),
+                   donate_argnums=(1, 2, 3))
+def _run(seed, ax, ay, az, spec):
+    kernel, grid, n_pad = spec.build()
+    plane = jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32)
+    block = pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), block, block, block],
+        out_specs=(block, block, block),
+        out_shape=(plane, plane, plane),
+        input_output_aliases={1: 0, 2: 1, 3: 2},
+    )(seed, ax, ay, az)
+    return out
+
+
+class _KernelSpec:
+    """Hashable build-spec so jit can cache per (scene, config)."""
+
+    def __init__(self, scene: T.Scene, width, height, depth, antialias):
+        self.sc = _SceneConst(scene)
+        self.width, self.height = width, height
+        self.depth, self.antialias = depth, antialias
+        n = width * height
+        tile = TILE_ROWS * LANES
+        self.n_pad = ((n + tile - 1) // tile) * tile
+        self.n_real = n
+        # identity for jit caching: scene contents + config
+        self._key = (width, height, depth, antialias,
+                     self.sc.inv.tobytes(), self.sc.vel.tobytes(),
+                     tuple(self.sc.gtype), tuple(self.sc.mat_of),
+                     self.sc.color.tobytes(), self.sc.spec_color.tobytes(),
+                     self.sc.emittance.tobytes(), self.sc.ior.tobytes(),
+                     self.sc.p_refr.tobytes(), self.sc.p_spec.tobytes(),
+                     self.sc.cam_pos.tobytes(), self.sc.cam_view.tobytes(),
+                     self.sc.cam_up.tobytes(), self.sc.cam_right.tobytes(),
+                     self.sc.pl.tobytes(), self.sc.aperture, self.sc.focal,
+                     self.sc.shutter)
+
+    def build(self):
+        kernel = _make_kernel(self.sc, self.width, self.height, self.depth,
+                              self.antialias, self.n_real)
+        return kernel, self.n_pad // (TILE_ROWS * LANES), self.n_pad
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, _KernelSpec) and self._key == other._key
+
+
+class MegakernelRenderer:
+    """Drop-in progressive renderer backed by the fused Pallas kernel."""
+
+    def __init__(self, scene: T.Scene, settings=None):
+        if not supports(scene):
+            raise ValueError("megakernel supports primitive-only, untextured "
+                             "scenes; use render.integrator.Renderer")
+        self.scene = scene
+        self.settings = settings or scene.settings
+        w, h = scene.camera.resolution
+        self.spec = _KernelSpec(scene, w, h, self.settings.trace_depth,
+                                self.settings.antialias)
+        self.reset()
+
+    def reset(self):
+        shape = (self.spec.n_pad // LANES, LANES)
+        self._ax = jnp.zeros(shape, jnp.float32)
+        self._ay = jnp.zeros(shape, jnp.float32)
+        self._az = jnp.zeros(shape, jnp.float32)
+        self.iteration = 0
+
+    def step(self):
+        s32 = (self.settings.seed * 2654435761 + self.iteration) & 0x7FFFFFFF
+        seed = jnp.array([s32], jnp.int32)
+        self._ax, self._ay, self._az = _run(seed, self._ax, self._ay,
+                                            self._az, self.spec)
+        self.iteration += 1
+
+    def render(self, num_iterations: int, seed=None):
+        if seed is not None:
+            self.settings.seed = seed
+        for _ in range(num_iterations):
+            self.step()
+        jax.block_until_ready(self._ax)
+        return self.accum
+
+    @property
+    def accum(self):
+        w, h = self.scene.camera.resolution
+        n = w * h
+        return jnp.stack(
+            [self._ax.reshape(-1)[:n].reshape(h, w),
+             self._ay.reshape(-1)[:n].reshape(h, w),
+             self._az.reshape(-1)[:n].reshape(h, w)], axis=-1)
+
+    def image(self) -> np.ndarray:
+        return np.asarray(self.accum)[:, ::-1, :] / max(self.iteration, 1)
+
+    def save(self, path_base=None, hdr=False) -> str:
+        from ..utils import image as img_io
+        base = path_base or self.settings.image_name
+        return img_io.save_render(base, np.asarray(self.accum),
+                                  self.iteration, hdr=hdr)

@@ -1,0 +1,292 @@
+"""Pallas packet BVH traversal — the TPU-native mesh intersector.
+
+Why not the XLA while-loop traversal (ops/intersect.bvh_traverse)? Per-lane
+cursors require per-lane *gathers* of node/triangle data every step, and
+element gathers are the slowest operation on a TPU VPU — the 81920-tri
+benchmark mesh doesn't finish one 1M-ray iteration in minutes.
+
+TPU-native design (the SIMD analog of classic packet tracing):
+
+  * rays are processed in PACKETS of 8x128 = 1024 (one vector tile);
+  * each packet walks the skip-pointer tree with ONE shared scalar cursor
+    (a `lax.while_loop` over a scalar — no per-lane state);
+  * node data is packed one-node-per-row, resident in VMEM, so visiting a
+    node is a single dynamic ROW load (scalar index — cheap), then the AABB
+    test runs vectorized across all 1024 lanes;
+  * the packet descends if ANY lane's AABB test passes (vector -> scalar
+    reduction), else takes the escape pointer — divergence costs visiting
+    the union of the packet's nodes, which is why the integrator keeps
+    packets coherent (tile-swizzled primary rays; sorted bounce rays);
+  * leaves load LEAF_K triangle rows ([T, 24] f32: v0, e1, e2, n0, n1, n2,
+    uv0, uv1, uv2) and run Moller-Trumbore vectorized across the packet;
+    the winning hit's smooth normal and uv are interpolated IN-KERNEL from
+    the loaded rows, so no post-traversal gathers are needed at all.
+
+Fills the reference's mesh TODO (src/pathtrace.cu:188) at production speed;
+`scene.types.MeshBundle` stays the source format — `pack_mesh` converts.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene import types as T
+
+SUB = 8
+LANES = 128
+PACKET = SUB * LANES  # 1024 rays
+BIG = 1e30
+TRI_ROW = 24          # v0(3) e1(3) e2(3) n0(3) n1(3) n2(3) uv0(2) uv1(2) uv2(2)
+VMEM_BUDGET = 12 * 1024 * 1024
+
+
+class PackedMesh(NamedTuple):
+    """VMEM-friendly single mesh (indices LOCAL, root node = 0):
+    nodes_f [B,8] f32 = lo.xyz, hi.xyz, pad2;
+    nodes_i [B,8] i32 = skip, meta, pad6 where meta = start*16 + count for
+    leaves (count <= LEAF_K <= 15) and -1 for internal nodes;
+    tris [T_pad, TRI_ROW] f32.
+    A pytree (all-leaf NamedTuple), so it flows through jit as an argument.
+    """
+    nodes_f: jnp.ndarray
+    nodes_i: jnp.ndarray
+    tris: jnp.ndarray
+
+    @property
+    def vmem_bytes(self) -> int:
+        return 4 * (self.nodes_f.size + self.nodes_i.size + self.tris.size)
+
+
+def fits_vmem(packed: "PackedMesh") -> bool:
+    return packed.vmem_bytes <= VMEM_BUDGET
+
+
+def pack_mesh(meshes: T.MeshBundle, mesh_index: int = 0) -> PackedMesh:
+    """Extract + rebase one mesh from the concatenated bundle so its local
+    root is node 0."""
+    roots = np.asarray(meshes.mesh_root, np.int64)
+    tri_offs = np.asarray(meshes.mesh_tri_offset, np.int64)
+    b_total = np.asarray(meshes.node_lo).shape[0]
+    t_total = np.asarray(meshes.tri_v0).shape[0]
+    n0 = int(roots[mesh_index])
+    n1 = int(roots[mesh_index + 1]) if mesh_index + 1 < len(roots) else b_total
+    t0 = int(tri_offs[mesh_index])
+    t1 = (int(tri_offs[mesh_index + 1]) if mesh_index + 1 < len(tri_offs)
+          else t_total)
+
+    nlo = np.asarray(meshes.node_lo, np.float32)[n0:n1]
+    nhi = np.asarray(meshes.node_hi, np.float32)[n0:n1]
+    start = np.asarray(meshes.node_start, np.int64)[n0:n1]
+    count = np.asarray(meshes.node_count, np.int64)[n0:n1]
+    skip = np.asarray(meshes.node_skip, np.int32)[n0:n1]
+    skip = np.where(skip >= 0, skip - n0, -1).astype(np.int32)
+    start_local = np.where(count > 0, start - t0, -1)
+    b = nlo.shape[0]
+
+    assert count.max() <= 15, "meta encoding holds counts <= 15"
+    meta = np.where(count > 0, start_local * 16 + count, -1).astype(np.int32)
+    nodes_f = np.zeros((b, 8), np.float32)
+    nodes_f[:, 0:3] = nlo
+    nodes_f[:, 3:6] = nhi
+    nodes_i = np.zeros((b, 8), np.int32)
+    nodes_i[:, 0] = skip
+    nodes_i[:, 1] = meta
+
+    t = t1 - t0
+    sl = slice(t0, t1)
+    tris = np.zeros((t + 1, TRI_ROW), np.float32)  # +1 degenerate pad row
+    tris[:t, 0:3] = np.asarray(meshes.tri_v0, np.float32)[sl]
+    tris[:t, 3:6] = np.asarray(meshes.tri_e1, np.float32)[sl]
+    tris[:t, 6:9] = np.asarray(meshes.tri_e2, np.float32)[sl]
+    tris[:t, 9:12] = np.asarray(meshes.tri_n0, np.float32)[sl]
+    tris[:t, 12:15] = np.asarray(meshes.tri_n1, np.float32)[sl]
+    tris[:t, 15:18] = np.asarray(meshes.tri_n2, np.float32)[sl]
+    tris[:t, 18:20] = np.asarray(meshes.tri_uv0, np.float32)[sl]
+    tris[:t, 20:22] = np.asarray(meshes.tri_uv1, np.float32)[sl]
+    tris[:t, 22:24] = np.asarray(meshes.tri_uv2, np.float32)[sl]
+
+    return PackedMesh(nodes_f=jnp.asarray(nodes_f),
+                      nodes_i=jnp.asarray(nodes_i),
+                      tris=jnp.asarray(tris))
+
+
+def pack_all(meshes: T.MeshBundle):
+    """One PackedMesh per mesh in the bundle (empty tuple for no meshes)."""
+    k = int(np.asarray(meshes.mesh_root).shape[0])
+    if int(np.asarray(meshes.tri_v0).shape[0]) <= 1:
+        return ()
+    return tuple(pack_mesh(meshes, i) for i in range(k))
+
+
+def _traverse_kernel(leaf_k: int, root: int, max_steps: int):
+    """Kernel body. Outputs per-ray: t, nx, ny, nz, u, v, hit-mask(int)."""
+
+    def kernel(qox_ref, qoy_ref, qoz_ref, qdx_ref, qdy_ref, qdz_ref,
+               nodes_f_ref, nodes_i_ref, tris_ref,
+               t_ref, nx_ref, ny_ref, nz_ref, u_ref, v_ref, hit_ref):
+        qox, qoy, qoz = qox_ref[:], qoy_ref[:], qoz_ref[:]
+        qdx, qdy, qdz = qdx_ref[:], qdy_ref[:], qdz_ref[:]
+        idx = 1.0 / qdx
+        idy = 1.0 / qdy
+        idz = 1.0 / qdz
+
+        shape = (SUB, LANES)
+        zero = jnp.zeros(shape, jnp.float32)
+        init = (jnp.int32(root), jnp.int32(0),
+                jnp.full(shape, BIG, jnp.float32),
+                zero, zero, zero, zero, zero)
+
+        def cond(state):
+            cur, step = state[0], state[1]
+            return (cur >= 0) & (step < max_steps)
+
+        def body(state):
+            cur, step, t_best, nx, ny, nz, uu, vv = state
+            row = nodes_f_ref[cur]        # [8] scalar row load
+            lox, loy, loz = row[0], row[1], row[2]
+            hix, hiy, hiz = row[3], row[4], row[5]
+            skip = nodes_i_ref[cur, 0]
+            meta = nodes_i_ref[cur, 1]
+
+            t1x = (lox - qox) * idx
+            t2x = (hix - qox) * idx
+            t1y = (loy - qoy) * idy
+            t2y = (hiy - qoy) * idy
+            t1z = (loz - qoz) * idz
+            t2z = (hiz - qoz) * idz
+            tmin = jnp.maximum(jnp.minimum(t1x, t2x),
+                               jnp.maximum(jnp.minimum(t1y, t2y),
+                                           jnp.minimum(t1z, t2z)))
+            tmax = jnp.minimum(jnp.maximum(t1x, t2x),
+                               jnp.minimum(jnp.maximum(t1y, t2y),
+                                           jnp.maximum(t1z, t2z)))
+            lane_hit = (tmax >= tmin) & (tmax > 0) & (tmin < t_best)
+            any_hit = jnp.any(lane_hit)
+            is_leaf = meta >= 0
+
+            def do_leaf(args):
+                t_best, nx, ny, nz, uu, vv = args
+                start = meta // 16
+                count = meta - start * 16
+                for k in range(leaf_k):
+                    r = tris_ref[start + k]
+                    in_leaf = k < count
+                    v0x, v0y, v0z = r[0], r[1], r[2]
+                    e1x, e1y, e1z = r[3], r[4], r[5]
+                    e2x, e2y, e2z = r[6], r[7], r[8]
+                    pvx = qdy * e2z - qdz * e2y
+                    pvy = qdz * e2x - qdx * e2z
+                    pvz = qdx * e2y - qdy * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    ok_det = jnp.abs(det) > 1e-12
+                    inv_det = jnp.where(ok_det, 1.0 / det, 0.0)
+                    tvx = qox - v0x
+                    tvy = qoy - v0y
+                    tvz = qoz - v0z
+                    bu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    bv = (qdx * qvx + qdy * qvy + qdz * qvz) * inv_det
+                    t_k = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                    hit_k = (ok_det & (bu >= 0) & (bv >= 0)
+                             & (bu + bv <= 1) & (t_k > 1e-6)
+                             & (t_k < t_best) & in_leaf)
+                    bw = 1.0 - bu - bv
+                    # smooth normal + uv interpolated from the loaded row
+                    nkx = bw * r[9] + bu * r[12] + bv * r[15]
+                    nky = bw * r[10] + bu * r[13] + bv * r[16]
+                    nkz = bw * r[11] + bu * r[14] + bv * r[17]
+                    uk = bw * r[18] + bu * r[20] + bv * r[22]
+                    vk = bw * r[19] + bu * r[21] + bv * r[23]
+                    t_best = jnp.where(hit_k, t_k, t_best)
+                    nx = jnp.where(hit_k, nkx, nx)
+                    ny = jnp.where(hit_k, nky, ny)
+                    nz = jnp.where(hit_k, nkz, nz)
+                    uu = jnp.where(hit_k, uk, uu)
+                    vv = jnp.where(hit_k, vk, vv)
+                return t_best, nx, ny, nz, uu, vv
+
+            t_best, nx, ny, nz, uu, vv = jax.lax.cond(
+                any_hit & is_leaf, do_leaf, lambda a: a,
+                (t_best, nx, ny, nz, uu, vv))
+
+            nxt = jnp.where(any_hit & ~is_leaf, cur + 1, skip)
+            return nxt, step + 1, t_best, nx, ny, nz, uu, vv
+
+        out = jax.lax.while_loop(cond, body, init)
+        _, _, t_best, nx, ny, nz, uu, vv = out
+        hit = t_best < BIG
+        t_ref[:] = t_best
+        nx_ref[:] = nx
+        ny_ref[:] = ny
+        nz_ref[:] = nz
+        u_ref[:] = uu
+        v_ref[:] = vv
+        hit_ref[:] = hit.astype(jnp.int32)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("leaf_k", "max_steps", "interpret"))
+def _traverse(qo_planes, qd_planes, nodes_f, nodes_i, tris, leaf_k,
+              max_steps, interpret):
+    n = qo_planes[0].shape[0]
+    assert n % PACKET == 0
+    rows = n // LANES
+    grid = n // PACKET
+
+    def as2d(a):
+        return a.reshape(rows, LANES)
+
+    block = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    plane_f = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    plane_i = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+
+    kernel = _traverse_kernel(leaf_k, 0, max_steps)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[block] * 6 + [full, full, full],
+        out_specs=(block,) * 7,
+        out_shape=(plane_f, plane_f, plane_f, plane_f, plane_f, plane_f,
+                   plane_i),
+        interpret=interpret,
+    )(*(as2d(p) for p in qo_planes), *(as2d(p) for p in qd_planes),
+      nodes_f, nodes_i, tris)
+    return tuple(o.reshape(-1) for o in outs)
+
+
+def traverse_packets(qo, qd, packed: PackedMesh, leaf_k: int = 4,
+                     max_steps: int = 2 ** 20):
+    """Nearest-hit over the packed mesh for planar object-space rays.
+
+    qo, qd: tuples of [N] planes (padded internally to a packet multiple).
+    Returns (t_obj [N], normal_obj (nx,ny,nz) [N] each, u [N], v [N],
+    hit [N] bool). Normals are the smooth interpolated object-space normals,
+    not normalized.
+    """
+    n = qo[0].shape[0]
+    pad = (-n) % PACKET
+    if pad:
+        padp = lambda a, val: jnp.concatenate(
+            [a, jnp.full((pad,), val, a.dtype)])
+        qo = tuple(padp(c, 0.0) for c in qo)
+        qd = tuple(padp(c, 1.0) for c in qd)
+    interpret = jax.default_backend() == "cpu"
+    t, nx, ny, nz, u, v, hit = _traverse(
+        tuple(qo), tuple(qd), packed.nodes_f, packed.nodes_i, packed.tris,
+        leaf_k, max_steps, interpret)
+    if pad:
+        t, nx, ny, nz = t[:n], nx[:n], ny[:n], nz[:n]
+        u, v, hit = u[:n], v[:n], hit[:n]
+    return t, (nx, ny, nz), u, v, hit.astype(bool)

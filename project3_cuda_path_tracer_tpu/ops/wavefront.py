@@ -191,8 +191,9 @@ def _primitive_hit_planar(o: V3, d: V3, times, geoms: T.Geoms, g: int,
 
 def _mesh_hit_planar(o: V3, d: V3, times, geoms: T.Geoms,
                      meshes: T.MeshBundle, g: int) -> HitP:
-    """MESH geom via the BVH traversal (row-major internally for the gather
-    -heavy tree walk; converted at the boundary)."""
+    """MESH geom via the XLA BVH traversal (row-major internally for the
+    gather-heavy tree walk; converted at the boundary). Fallback path — the
+    production route is `_mesh_hit_packet`."""
     from . import intersect as isect_rows
     h = isect_rows.mesh_hit(vec.to_rows(o), vec.to_rows(d), times, geoms,
                             meshes, g)
@@ -201,11 +202,59 @@ def _mesh_hit_planar(o: V3, d: V3, times, geoms: T.Geoms,
                 outside=h.outside)
 
 
+def _mesh_hit_packet(o: V3, d: V3, times, geoms: T.Geoms, packed,
+                     g: int) -> HitP:
+    """MESH geom via the Pallas packet traversal (ops/pallas_bvh).
+
+    The traversal kernel has no VJP; its inputs/outputs are detached
+    (geometry selection is treated as a non-differentiable decision — the
+    detached-sampling convention extended to visibility). Shading gradients
+    (albedo/emittance) still flow through the material lookup.
+    """
+    inv = geoms.inverse_transform[g]
+    fwd = geoms.transform[g]
+    inv_tr = geoms.inverse_transpose[g]
+    velx, vely, velz = (geoms.velocity[g, 0], geoms.velocity[g, 1],
+                        geoms.velocity[g, 2])
+
+    o_shift = V3(o.x - velx * times, o.y - vely * times, o.z - velz * times)
+    qo = vec.xform_pt(inv, o_shift)
+    qd = vec.normalize(vec.xform_dir(inv, d))
+
+    from . import pallas_bvh as PB
+    sg = jax.lax.stop_gradient
+    t_obj, (nlx, nly, nlz), u, v, hit = PB.traverse_packets(
+        (sg(qo.x), sg(qo.y), sg(qo.z)), (sg(qd.x), sg(qd.y), sg(qd.z)),
+        packed)
+
+    tb = t_obj - RAY_EPS
+    ip_obj = V3(qo.x + tb * qd.x, qo.y + tb * qd.y, qo.z + tb * qd.z)
+    ip_world = vec.xform_pt(fwd, ip_obj)
+    ip_world = V3(ip_world.x + velx * times, ip_world.y + vely * times,
+                  ip_world.z + velz * times)
+    t_world = jnp.where(hit, vec.norm(o - ip_world), BIG)
+
+    normal = vec.normalize(vec.xform_dir(inv_tr, V3(nlx, nly, nlz)))
+    # two-sided: flip toward the incoming ray (open surfaces)
+    facing = vec.dot(normal, d) < 0
+    normal = vec.where(facing, normal, -normal)
+
+    return HitP(t=t_world, normal=normal,
+                mat_id=jnp.broadcast_to(geoms.material_id[g],
+                                        t_world.shape),
+                point=ip_world, u=u, v=v, outside=facing)
+
+
 def intersect_planar(o: V3, d: V3, times, geoms: T.Geoms,
-                     meshes: T.MeshBundle, geom_types: Tuple[int, ...]
-                     ) -> HitP:
+                     meshes: T.MeshBundle, geom_types: Tuple[int, ...],
+                     packed_meshes: tuple = (),
+                     mesh_ids: Tuple[int, ...] = ()) -> HitP:
     """Nearest hit over all geoms (statically unrolled merge;
-    reference loop: src/pathtrace.cu:176-199)."""
+    reference loop: src/pathtrace.cu:176-199).
+
+    `mesh_ids[g]` (static) selects the PackedMesh for MESH geoms; when a
+    packed form is provided the Pallas packet traversal is used, otherwise
+    the XLA gather walk."""
     n = o.x.shape[0]
     best = HitP(t=jnp.full((n,), BIG, jnp.float32),
                 normal=V3(*(jnp.zeros((n,), jnp.float32),) * 3),
@@ -216,7 +265,12 @@ def intersect_planar(o: V3, d: V3, times, geoms: T.Geoms,
                 outside=jnp.ones((n,), bool))
     for g, gtype in enumerate(geom_types):
         if gtype == T.MESH:
-            cand = _mesh_hit_planar(o, d, times, geoms, meshes, g)
+            mid = mesh_ids[g] if g < len(mesh_ids) else -1
+            if packed_meshes and 0 <= mid < len(packed_meshes):
+                cand = _mesh_hit_packet(o, d, times, geoms,
+                                        packed_meshes[mid], g)
+            else:
+                cand = _mesh_hit_planar(o, d, times, geoms, meshes, g)
         else:
             cand = _primitive_hit_planar(o, d, times, geoms, g, gtype)
         closer = cand.t < best.t

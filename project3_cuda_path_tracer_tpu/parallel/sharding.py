@@ -37,6 +37,22 @@ from ..scene import types as T
 from ..utils import image as img_io
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (SURVEY §5.8): `jax.distributed.initialize` with
+    explicit args for manual launches or no-args under a cluster
+    environment (GKE/SLURM auto-detection). Call once per process before
+    any jax op; afterwards `jax.devices()` spans the pod slice and
+    `make_mesh()` builds the global data mesh (ICI intra-slice, DCN
+    cross-host — XLA routes collectives)."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
     """1-D data mesh over all (or the first `num_devices`) local+global
     devices. Call `jax.distributed.initialize()` first for multi-host."""
@@ -57,16 +73,17 @@ def shard_scene(scene: T.Scene, mesh: Mesh) -> T.Scene:
         materials=put(scene.materials), geoms=put(scene.geoms),
         meshes=put(scene.meshes), textures=put(scene.textures),
         source_path=scene.source_path,
+        packed_meshes=put(scene.packed_meshes),
     )
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("accum",))
 def render_step_sharded(accum, materials, cam, geoms, meshes, textures, key,
-                        cfg: integ.TraceConfig):
+                        cfg: integ.TraceConfig, packed_meshes=()):
     """One sharded progressive iteration; `cfg.ray_sharding` carries the
     wavefront sharding and `accum` arrives sharded on its row dimension."""
     rad = integ.render_radiance(materials, cam, geoms, meshes, textures, key,
-                                cfg)
+                                cfg, packed_meshes=packed_meshes)
     return accum + rad
 
 
@@ -105,6 +122,8 @@ class ShardedRenderer:
             mesh_geom_indices=mesh_idx,
             ray_sharding=ray_sharding,
             geom_types=tuple(int(t) for t in types),
+            mesh_ids=tuple(int(m) for m in np.asarray(scene.geoms.mesh_id)),
+            unroll=bool(len(mesh_idx) and scene.packed_meshes),
         )
         self.base_key = jax.random.PRNGKey(self.settings.seed)
         self.reset()
@@ -120,7 +139,7 @@ class ShardedRenderer:
         key = jax.random.fold_in(self.base_key, self.iteration)
         self.accum = render_step_sharded(
             self.accum, s.materials, s.camera.flat(), s.geoms, s.meshes,
-            s.textures, key, self.cfg)
+            s.textures, key, self.cfg, s.packed_meshes)
         self.iteration += 1
 
     def render(self, num_iterations: int, seed: Optional[int] = None):

@@ -77,6 +77,15 @@ class TraceConfig:
     # intersector is used (no [N,G] intermediates — see
     # ops.intersect.intersect_scene_fused).
     geom_types: Optional[Tuple[int, ...]] = None
+    # Static per-geom mesh index (into Scene.packed_meshes), -1 for
+    # primitives; enables the Pallas packet BVH traversal.
+    mesh_ids: Tuple[int, ...] = ()
+    # Unroll the bounce loop in Python instead of lax.scan. Required when
+    # the packet-BVH pallas_call is in use: inside a while/scan body XLA
+    # pins the loop-carried wavefront planes into VMEM around the custom
+    # call and overflows the 16MB scoped budget; at top level the kernel's
+    # own block windows apply.
+    unroll: bool = False
 
 
 def _sort_paths(state: PathState, hit: wf.HitP, keys: jnp.ndarray):
@@ -98,6 +107,7 @@ def trace_wavefront(
     key: jax.Array,
     cfg: TraceConfig,
     first_hit: Optional[wf.HitP] = None,
+    packed_meshes: tuple = (),
 ) -> wf.V3:
     """Trace one full iteration; returns per-pixel radiance as a planar V3
     of [N] planes.
@@ -135,7 +145,8 @@ def trace_wavefront(
         state, radiance = carry
         depth, k_d = inp
         hit = wf.intersect_planar(state.origin, state.direction, state.time,
-                                  geoms, meshes, geom_types)
+                                  geoms, meshes, geom_types,
+                                  packed_meshes, cfg.mesh_ids)
         return _shade_and_advance(state, radiance, hit, depth, k_d), None
 
     def _shade_and_advance(state, radiance, hit, depth, k_d):
@@ -166,39 +177,64 @@ def trace_wavefront(
     depths = jnp.arange(cfg.trace_depth, dtype=jnp.int32)
     keys = jax.random.split(k_bounce, cfg.trace_depth)
 
+    start = 0
     if first_hit is not None:
         # First-bounce cache (reference slot: iteration-invariant depth-0
         # intersections, src/pathtrace.cu:150,240): skip the depth-0
         # intersect and reuse the cached Hit.
         (state, radiance) = _shade_and_advance(state, radiance, first_hit,
                                                jnp.int32(0), keys[0])
-        if cfg.trace_depth > 1:
+        start = 1
+
+    if cfg.trace_depth > start:
+        if cfg.unroll:
+            carry = (state, radiance)
+            for dd in range(start, cfg.trace_depth):
+                carry, _ = bounce(carry, (depths[dd], keys[dd]))
+            state, radiance = carry
+        else:
             (state, radiance), _ = jax.lax.scan(
-                bounce, (state, radiance), (depths[1:], keys[1:]))
-    else:
-        (state, radiance), _ = jax.lax.scan(
-            bounce, (state, radiance), (depths, keys))
+                bounce, (state, radiance), (depths[start:], keys[start:]))
     return radiance
 
 
 def render_radiance(materials, cam, geoms, meshes, textures, key, cfg,
-                    first_hit=None):
+                    first_hit=None, packed_meshes=()):
     """One-iteration radiance image [H,W,3]; differentiable in
     (materials, cam). Path i maps to pixel (i % W, i // W)
     (reference: src/pathtrace.cu:128,140), so the reshape lands at [y, x]."""
     rad = trace_wavefront(materials, cam, geoms, meshes, textures, key, cfg,
-                          first_hit)
+                          first_hit, packed_meshes)
     return jnp.stack([rad.x.reshape(cfg.height, cfg.width),
                       rad.y.reshape(cfg.height, cfg.width),
                       rad.z.reshape(cfg.height, cfg.width)], axis=-1)
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("accum",))
-def render_step(accum, materials, cam, geoms, meshes, textures, key, cfg):
+def render_step(accum, materials, cam, geoms, meshes, textures, key, cfg,
+                packed_meshes=()):
     """Progressive-accumulation step: accum += one iteration's radiance
     (finalGather, reference src/pathtrace.cu:269-278,381)."""
     return accum + render_radiance(materials, cam, geoms, meshes, textures,
-                                   key, cfg)
+                                   key, cfg, packed_meshes=packed_meshes)
+
+
+def _first_hit_of(cam, geoms, meshes, cfg, packed_meshes=()):
+    """Depth-0 intersections for the deterministic (no-AA) camera rays."""
+    o, d, times = wf.generate_rays_planar(cam, cfg.width, cfg.height,
+                                          jax.random.PRNGKey(0),
+                                          antialias=False)
+    return wf.intersect_planar(o, d, times, geoms, meshes, cfg.geom_types,
+                               packed_meshes, cfg.mesh_ids)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("accum",))
+def render_step_cached(accum, materials, cam, geoms, meshes, textures, key,
+                       cfg, first_hit, packed_meshes=()):
+    """render_step with the cached depth-0 Hit (skips one full intersect)."""
+    return accum + render_radiance(materials, cam, geoms, meshes, textures,
+                                   key, cfg, first_hit=first_hit,
+                                   packed_meshes=packed_meshes)
 
 
 def render_samples(scene: T.Scene, num_iterations: int,
@@ -229,6 +265,8 @@ class Renderer:
             compact=self.settings.compact,
             mesh_geom_indices=mesh_idx,
             geom_types=tuple(int(t) for t in types),
+            mesh_ids=tuple(int(m) for m in np.asarray(scene.geoms.mesh_id)),
+            unroll=bool(len(mesh_idx) and scene.packed_meshes),
         )
         self.base_key = jax.random.PRNGKey(self.settings.seed)
         self.reset()
@@ -239,13 +277,39 @@ class Renderer:
         w, h = self.scene.camera.resolution
         self.accum = jnp.zeros((h, w, 3), jnp.float32)
         self.iteration = 0
+        self._first_hit = None
+
+    def _cached_first_hit(self):
+        """First-bounce cache (reference slot: depth-0 intersections are
+        iteration-invariant when ray-gen is deterministic,
+        src/pathtrace.cu:150,240). Only valid without AA/DoF/motion blur."""
+        cam = self.scene.camera
+        if (self.cfg.antialias or cam.aperture > 0 or cam.shutter > 0):
+            return None
+        if self._first_hit is None:
+            s = self.scene
+            f = jax.jit(
+                lambda cam_f: _first_hit_of(cam_f, s.geoms, s.meshes,
+                                            self.cfg, s.packed_meshes))
+            self._first_hit = f(cam.flat())
+        return self._first_hit
 
     def step(self) -> None:
         """One progressive iteration (one spp)."""
         s = self.scene
         key = jax.random.fold_in(self.base_key, self.iteration)
+        if self.settings.first_bounce_cache:
+            fh = self._cached_first_hit()
+            if fh is not None:
+                self.accum = render_step_cached(
+                    self.accum, s.materials, s.camera.flat(), s.geoms,
+                    s.meshes, s.textures, key, self.cfg, fh,
+                    s.packed_meshes)
+                self.iteration += 1
+                return
         self.accum = render_step(self.accum, s.materials, s.camera.flat(),
-                                 s.geoms, s.meshes, s.textures, key, self.cfg)
+                                 s.geoms, s.meshes, s.textures, key,
+                                 self.cfg, s.packed_meshes)
         self.iteration += 1
 
     def render(self, num_iterations: int, seed: Optional[int] = None):

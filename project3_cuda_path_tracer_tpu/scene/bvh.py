@@ -32,11 +32,22 @@ SAH_BINS = 16
 def load_obj(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Parse a Wavefront OBJ into (verts [T,3,3], normals [T,3,3], uvs [T,3,2]).
 
-    Supports v / vn / vt and f with any of the four index forms
+    Uses the native C++ parser (native/src/pt_native.cpp, ~50x faster) when
+    built; this pure-Python implementation is the fallback and the test
+    oracle. Supports v / vn / vt and f with any of the four index forms
     (v, v/vt, v//vn, v/vt/vn); polygons are fan-triangulated; negative
     indices are relative per the OBJ spec. Faces without normals get the
     (counter-clockwise) face normal at all three corners.
     """
+    from ..utils import native
+    if native.is_available():
+        res = native.parse_obj(path)
+        if res is not None:
+            return res
+    return _load_obj_py(path)
+
+
+def _load_obj_py(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     vs: List[List[float]] = []
     vns: List[List[float]] = []
     vts: List[List[float]] = []
@@ -132,14 +143,26 @@ def _partition(tri_lo, tri_hi, centroids, order: np.ndarray):
     return best
 
 
-def build_bvh(verts: np.ndarray):
+def build_bvh(verts: np.ndarray, leaf_k: int = LEAF_K):
     """Build one mesh's BVH.
 
     Returns (perm, node_lo, node_hi, node_start, node_count, node_skip,
     node_right) with *local* indices; `perm` reorders the input triangles into
     leaf-contiguous order. Layout: depth-first, left child at parent+1, so the
     device traversal descends with `node+1` and escapes with `node_skip`.
+
+    Uses the native C++ builder (same SAH binning + flattening semantics)
+    when built; this Python implementation is the fallback/oracle.
     """
+    from ..utils import native
+    if native.is_available():
+        res = native.build_bvh(verts, leaf_k)
+        if res is not None:
+            return res
+    return _build_bvh_py(verts, leaf_k)
+
+
+def _build_bvh_py(verts: np.ndarray, leaf_k: int = LEAF_K):
     tri_lo = verts.min(axis=1)
     tri_hi = verts.max(axis=1)
     centroids = (tri_lo + tri_hi) * 0.5
@@ -170,7 +193,7 @@ def build_bvh(verts: np.ndarray):
         nodes_count.append(0)
         nodes_skip.append(skip)
         nodes_right.append(-1)
-        if len(order) <= LEAF_K:
+        if len(order) <= leaf_k:
             nodes_start[idx] = len(perm)
             nodes_count[idx] = len(order)
             perm.extend(order.tolist())

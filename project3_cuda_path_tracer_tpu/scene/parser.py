@@ -243,15 +243,18 @@ def load_scene(path: str) -> T.Scene:
 
     if mesh_paths:
         from .bvh import build_mesh_bundle
+        from ..ops.pallas_bvh import pack_all
         meshes = build_mesh_bundle(mesh_paths)
+        packed = pack_all(meshes)
     else:
         meshes = T.MeshBundle.empty()
+        packed = ()
 
     textures = _load_textures(mats, envmap_path)
 
     return T.Scene(camera=cam, settings=settings, materials=materials,
                    geoms=geom_soa, meshes=meshes, textures=textures,
-                   source_path=os.path.abspath(path))
+                   source_path=os.path.abspath(path), packed_meshes=packed)
 
 
 def _load_textures(mats: List[dict], envmap_path: Optional[str]) -> T.Textures:

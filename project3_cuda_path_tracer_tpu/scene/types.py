@@ -226,7 +226,10 @@ class RenderSettings:
 
 @dataclass
 class Scene:
-    """Parsed scene: host camera/settings + device SoA tables."""
+    """Parsed scene: host camera/settings + device SoA tables.
+
+    `packed_meshes` is the per-mesh VMEM-packed form consumed by the Pallas
+    packet traversal (ops/pallas_bvh.pack_all); empty for no meshes."""
     camera: Camera
     settings: RenderSettings
     materials: Materials
@@ -234,6 +237,7 @@ class Scene:
     meshes: MeshBundle = field(default_factory=MeshBundle.empty)
     textures: Optional[Textures] = None
     source_path: str = ""
+    packed_meshes: tuple = ()
 
     def __post_init__(self):
         if self.textures is None:

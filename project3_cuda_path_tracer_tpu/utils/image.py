@@ -15,9 +15,13 @@ import numpy as np
 
 
 def write_png(path: str, rgb8: np.ndarray) -> None:
-    """Write an [H,W,3] uint8 array as PNG (pure zlib, no deps)."""
+    """Write an [H,W,3] uint8 array as PNG (native C++ encoder when built,
+    pure-zlib Python fallback)."""
     h, w, c = rgb8.shape
     assert c == 3 and rgb8.dtype == np.uint8
+    from . import native
+    if native.is_available() and native.write_png(path, rgb8):
+        return
     raw = b"".join(b"\x00" + rgb8[y].tobytes() for y in range(h))
 
     def chunk(tag: bytes, data: bytes) -> bytes:

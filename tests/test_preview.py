@@ -1,0 +1,60 @@
+"""HTTP preview server tests (the headless GL-preview replacement,
+reference: src/preview.cpp)."""
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from project3_cuda_path_tracer_tpu import load_scene
+from project3_cuda_path_tracer_tpu.render.integrator import Renderer
+from project3_cuda_path_tracer_tpu.app.preview import PreviewServer
+
+
+@pytest.fixture(scope="module")
+def server():
+    s = load_scene("/root/reference/scenes/cornell.txt")
+    s.camera.resolution = (16, 16)
+    s.camera.derive()
+    s.settings.trace_depth = 2
+    r = Renderer(s)
+    r.render(2)
+    srv = PreviewServer(r, port=0).start()
+    yield srv, r
+    srv.stop()
+
+
+def _get(srv, path):
+    return urllib.request.urlopen(
+        f"http://127.0.0.1:{srv.port}{path}", timeout=10)
+
+
+def test_index(server):
+    srv, _ = server
+    body = _get(srv, "/").read()
+    assert b"tpu path tracer" in body
+
+
+def test_state(server):
+    srv, r = server
+    st = json.loads(_get(srv, "/state").read())
+    assert st["iteration"] == r.iteration
+    assert st["width"] == 16
+
+
+def test_frame_png(server):
+    srv, _ = server
+    data = _get(srv, "/frame.png").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_orbit_resets_accumulation(server):
+    srv, r = server
+    assert r.iteration > 0
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/orbit?dphi=0.2&dtheta=0&dzoom=0",
+        method="POST")
+    resp = urllib.request.urlopen(req, timeout=10)
+    assert json.loads(resp.read())["ok"]
+    # camera change resets accumulation (reference: src/main.cpp:102-120)
+    assert r.iteration == 0
