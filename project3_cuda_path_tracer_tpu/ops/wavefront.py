@@ -38,12 +38,30 @@ BIG = jnp.float32(1e30)
 # ---------------------------------------------------------------------------
 
 def generate_rays_planar(cam: dict, width: int, height: int, key: jax.Array,
-                         antialias: bool = True):
-    """Primary rays as (origin V3, dir V3, time [N])."""
+                         antialias: bool = True, tile: int = 0):
+    """Primary rays as (origin V3, dir V3, time [N], pixel_index [N]).
+
+    `tile` > 0 swizzles the path→pixel mapping into TxT image tiles so that
+    consecutive path indices cover a compact screen tile instead of a full
+    scan row — the coherence the Pallas packet BVH traversal needs (its
+    packets are 1024 consecutive paths). pixel_index records the mapping;
+    tile=0 is the reference's row-major identity (src/pathtrace.cu:128,140).
+    """
     n = width * height
     idx = jnp.arange(n, dtype=jnp.int32)
-    x = (idx % width).astype(jnp.float32)
-    y = (idx // width).astype(jnp.float32)
+    if tile and width % tile == 0 and height % tile == 0:
+        per_tile = tile * tile
+        tiles_per_row = width // tile
+        tile_id = idx // per_tile
+        within = idx % per_tile
+        xi = (tile_id % tiles_per_row) * tile + within % tile
+        yi = (tile_id // tiles_per_row) * tile + within // tile
+    else:
+        xi = idx % width
+        yi = idx // width
+    pixel_index = xi + yi * width
+    x = xi.astype(jnp.float32)
+    y = yi.astype(jnp.float32)
 
     k_aa, k_lens, k_time = jax.random.split(key, 3)
     if antialias:
@@ -81,7 +99,7 @@ def generate_rays_planar(cam: dict, width: int, height: int, key: jax.Array,
     d = vec.where(use_dof, d_dof, d)
 
     times = jax.random.uniform(k_time, (n,), jnp.float32) * cam["shutter"]
-    return o, d, times
+    return o, d, times, pixel_index
 
 
 # ---------------------------------------------------------------------------

@@ -86,6 +86,10 @@ class TraceConfig:
     # call and overflows the 16MB scoped budget; at top level the kernel's
     # own block windows apply.
     unroll: bool = False
+    # TxT pixel-tile swizzle of the path order (0 = row-major identity).
+    # Keeps packet-BVH packets screen-coherent; radiance is unswizzled by
+    # one scatter at the end of the iteration.
+    tile: int = 0
 
 
 def _sort_paths(state: PathState, hit: wf.HitP, keys: jnp.ndarray):
@@ -124,8 +128,10 @@ def trace_wavefront(
         raise ValueError("TraceConfig.geom_types is required (static "
                          "per-geom type tuple)")
 
-    o, d, times = wf.generate_rays_planar(cam, cfg.width, cfg.height, k_gen,
-                                          antialias=cfg.antialias)
+    o, d, times, pix = wf.generate_rays_planar(cam, cfg.width, cfg.height,
+                                               k_gen,
+                                               antialias=cfg.antialias,
+                                               tile=cfg.tile)
     if cfg.ray_sharding is not None:
         shard = lambda a: jax.lax.with_sharding_constraint(a, cfg.ray_sharding)
         o = V3(*(shard(c) for c in o))
@@ -135,7 +141,7 @@ def trace_wavefront(
     state = PathState(
         origin=o, direction=d,
         throughput=V3(ones, ones, ones),
-        pixel_index=jnp.arange(n, dtype=jnp.int32),
+        pixel_index=pix,
         alive=jnp.ones((n,), bool),
         time=times,
     )
@@ -195,6 +201,15 @@ def trace_wavefront(
         else:
             (state, radiance), _ = jax.lax.scan(
                 bounce, (state, radiance), (depths[start:], keys[start:]))
+
+    if cfg.tile and not (cfg.sort_materials or cfg.compact):
+        # radiance is path-ordered under the tile swizzle; one permutation
+        # scatter maps it back to pixel order (the sort path already
+        # accumulated in pixel space).
+        pix = state.pixel_index
+        radiance = V3(jnp.zeros((n,), jnp.float32).at[pix].set(radiance.x),
+                      jnp.zeros((n,), jnp.float32).at[pix].set(radiance.y),
+                      jnp.zeros((n,), jnp.float32).at[pix].set(radiance.z))
     return radiance
 
 
@@ -221,9 +236,9 @@ def render_step(accum, materials, cam, geoms, meshes, textures, key, cfg,
 
 def _first_hit_of(cam, geoms, meshes, cfg, packed_meshes=()):
     """Depth-0 intersections for the deterministic (no-AA) camera rays."""
-    o, d, times = wf.generate_rays_planar(cam, cfg.width, cfg.height,
-                                          jax.random.PRNGKey(0),
-                                          antialias=False)
+    o, d, times, _ = wf.generate_rays_planar(cam, cfg.width, cfg.height,
+                                             jax.random.PRNGKey(0),
+                                             antialias=False, tile=cfg.tile)
     return wf.intersect_planar(o, d, times, geoms, meshes, cfg.geom_types,
                                packed_meshes, cfg.mesh_ids)
 
@@ -267,6 +282,8 @@ class Renderer:
             geom_types=tuple(int(t) for t in types),
             mesh_ids=tuple(int(m) for m in np.asarray(scene.geoms.mesh_id)),
             unroll=bool(len(mesh_idx) and scene.packed_meshes),
+            tile=(32 if (len(mesh_idx) and scene.packed_meshes
+                         and w % 32 == 0 and h % 32 == 0) else 0),
         )
         self.base_key = jax.random.PRNGKey(self.settings.seed)
         self.reset()

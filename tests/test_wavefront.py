@@ -32,7 +32,7 @@ def test_raygen_matches_rows(cornell):
     key = jax.random.PRNGKey(0)
     # AA off so both paths are deterministic and identical
     o_r, d_r, t_r = cam_ops.generate_rays(f, 16, 16, key, antialias=False)
-    o_p, d_p, t_p = wf.generate_rays_planar(f, 16, 16, key, antialias=False)
+    o_p, d_p, t_p, pix = wf.generate_rays_planar(f, 16, 16, key, antialias=False)
     np.testing.assert_allclose(np.asarray(vec.to_rows(o_p)), np.asarray(o_r),
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(vec.to_rows(d_p)), np.asarray(d_r),
@@ -49,7 +49,7 @@ def test_raygen_dof_matches_rows(cornell):
     f = cam.flat()
     key = jax.random.PRNGKey(3)
     o_r, d_r, _ = cam_ops.generate_rays(f, 8, 8, key, antialias=False)
-    o_p, d_p, _ = wf.generate_rays_planar(f, 8, 8, key, antialias=False)
+    o_p, d_p, _, _ = wf.generate_rays_planar(f, 8, 8, key, antialias=False)
     # same key, but rows sample (n,2) vs planar (2,n): distributions match,
     # exact values differ — compare deterministic parts via focus geometry
     cam.aperture = 0.0
@@ -134,3 +134,41 @@ def test_cosine_hemisphere_planar_matches_rows():
     d_pl = wf.cosine_hemisphere_planar(vec.from_rows(nv), u[0], u[1])
     np.testing.assert_allclose(np.asarray(vec.to_rows(d_pl)),
                                np.asarray(d_rows), atol=1e-5)
+
+
+def test_tile_swizzle_is_a_permutation():
+    from project3_cuda_path_tracer_tpu.scene.types import Camera
+    import numpy as np
+    cam = Camera(resolution=(64, 64), position=np.array([0, 5, 10.5]),
+                 look_at=np.array([0, 5, 0]), up=np.array([0, 1, 0]))
+    cam.derive()
+    _, _, _, pix = wf.generate_rays_planar(cam.flat(), 64, 64,
+                                           jax.random.PRNGKey(0),
+                                           antialias=False, tile=16)
+    p = np.sort(np.asarray(pix))
+    np.testing.assert_array_equal(p, np.arange(64 * 64))
+    # path 0..255 should cover exactly the first 16x16 tile
+    first = np.asarray(pix)[:256]
+    xs, ys = first % 64, first // 64
+    assert xs.max() < 16 and ys.max() < 16
+
+
+def test_tiled_render_matches_untiled():
+    """depth-1 render is RNG-free per pixel -> tiled == untiled exactly."""
+    from project3_cuda_path_tracer_tpu import load_scene
+    from project3_cuda_path_tracer_tpu.render import integrator as I
+    import dataclasses
+    s = load_scene("/root/reference/scenes/cornell.txt")
+    s.camera.resolution = (32, 32)
+    s.camera.derive()
+    gt = tuple(int(x) for x in np.asarray(s.geoms.type))
+    base = I.TraceConfig(width=32, height=32, trace_depth=1,
+                         antialias=False, geom_types=gt)
+    tiled = dataclasses.replace(base, tile=8)
+    key = jax.random.PRNGKey(0)
+    img_a = I.render_radiance(s.materials, s.camera.flat(), s.geoms,
+                              s.meshes, s.textures, key, base)
+    img_b = I.render_radiance(s.materials, s.camera.flat(), s.geoms,
+                              s.meshes, s.textures, key, tiled)
+    np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_b),
+                               atol=1e-6)
