@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="emit JSON-line metrics to stderr")
     p.add_argument("--timestamp-name", action="store_true",
                    help="reference-style {FILE}.{timestamp}.{N}samp name")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="fail fast on NaN/Inf anywhere in the pipeline "
+                        "(the crash-on-error posture of the reference's "
+                        "checkCUDAError, src/pathtrace.cu:17-39)")
     return p
 
 
@@ -67,6 +71,8 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     import jax
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     from ..scene.parser import load_scene
     from ..render.integrator import Renderer
     from ..render import checkpoint as ckpt
