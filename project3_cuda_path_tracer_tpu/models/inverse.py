@@ -94,7 +94,10 @@ class InverseRenderer:
             trace_depth=trace_depth or scene.settings.trace_depth,
             antialias=scene.settings.antialias,
             mesh_geom_indices=mesh_idx,
-            geom_types=tuple(int(t) for t in types))
+            geom_types=tuple(int(t) for t in types),
+            mesh_ids=tuple(int(m) for m in np.asarray(scene.geoms.mesh_id)),
+            unroll=bool(len(mesh_idx) and scene.packed_meshes),
+            differentiable_mesh=bool(len(mesh_idx)))
         self.scene = scene
         self.target = jnp.asarray(target, jnp.float32)
         self.params = RenderParams(materials=scene.materials,

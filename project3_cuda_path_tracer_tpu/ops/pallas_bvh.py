@@ -129,7 +129,7 @@ def _traverse_kernel(leaf_k: int, root: int, max_steps: int):
 
     def kernel(qox_ref, qoy_ref, qoz_ref, qdx_ref, qdy_ref, qdz_ref,
                nodes_f_ref, nodes_i_ref, tris_ref,
-               t_ref, nx_ref, ny_ref, nz_ref, u_ref, v_ref, hit_ref):
+               t_ref, nx_ref, ny_ref, nz_ref, u_ref, v_ref, tri_ref):
         qox, qoy, qoz = qox_ref[:], qoy_ref[:], qoz_ref[:]
         qdx, qdy, qdz = qdx_ref[:], qdy_ref[:], qdz_ref[:]
         idx = 1.0 / qdx
@@ -140,14 +140,15 @@ def _traverse_kernel(leaf_k: int, root: int, max_steps: int):
         zero = jnp.zeros(shape, jnp.float32)
         init = (jnp.int32(root), jnp.int32(0),
                 jnp.full(shape, BIG, jnp.float32),
-                zero, zero, zero, zero, zero)
+                zero, zero, zero, zero, zero,
+                jnp.full(shape, -1, jnp.int32))
 
         def cond(state):
             cur, step = state[0], state[1]
             return (cur >= 0) & (step < max_steps)
 
         def body(state):
-            cur, step, t_best, nx, ny, nz, uu, vv = state
+            cur, step, t_best, nx, ny, nz, uu, vv, tri = state
             row = nodes_f_ref[cur]        # [8] scalar row load
             lox, loy, loz = row[0], row[1], row[2]
             hix, hiy, hiz = row[3], row[4], row[5]
@@ -171,7 +172,7 @@ def _traverse_kernel(leaf_k: int, root: int, max_steps: int):
             is_leaf = meta >= 0
 
             def do_leaf(args):
-                t_best, nx, ny, nz, uu, vv = args
+                t_best, nx, ny, nz, uu, vv, tri = args
                 start = meta // 16
                 count = meta - start * 16
                 for k in range(leaf_k):
@@ -211,25 +212,25 @@ def _traverse_kernel(leaf_k: int, root: int, max_steps: int):
                     nz = jnp.where(hit_k, nkz, nz)
                     uu = jnp.where(hit_k, uk, uu)
                     vv = jnp.where(hit_k, vk, vv)
-                return t_best, nx, ny, nz, uu, vv
+                    tri = jnp.where(hit_k, start + k, tri)
+                return t_best, nx, ny, nz, uu, vv, tri
 
-            t_best, nx, ny, nz, uu, vv = jax.lax.cond(
+            t_best, nx, ny, nz, uu, vv, tri = jax.lax.cond(
                 any_hit & is_leaf, do_leaf, lambda a: a,
-                (t_best, nx, ny, nz, uu, vv))
+                (t_best, nx, ny, nz, uu, vv, tri))
 
             nxt = jnp.where(any_hit & ~is_leaf, cur + 1, skip)
-            return nxt, step + 1, t_best, nx, ny, nz, uu, vv
+            return nxt, step + 1, t_best, nx, ny, nz, uu, vv, tri
 
         out = jax.lax.while_loop(cond, body, init)
-        _, _, t_best, nx, ny, nz, uu, vv = out
-        hit = t_best < BIG
+        _, _, t_best, nx, ny, nz, uu, vv, tri = out
         t_ref[:] = t_best
         nx_ref[:] = nx
         ny_ref[:] = ny
         nz_ref[:] = nz
         u_ref[:] = uu
         v_ref[:] = vv
-        hit_ref[:] = hit.astype(jnp.int32)
+        tri_ref[:] = tri
 
     return kernel
 
@@ -272,8 +273,8 @@ def traverse_packets(qo, qd, packed: PackedMesh, leaf_k: int = 4,
 
     qo, qd: tuples of [N] planes (padded internally to a packet multiple).
     Returns (t_obj [N], normal_obj (nx,ny,nz) [N] each, u [N], v [N],
-    hit [N] bool). Normals are the smooth interpolated object-space normals,
-    not normalized.
+    tri [N] int32 with -1 = miss). u/v are interpolated TEXTURE coordinates;
+    normals are the smooth interpolated object-space normals (unnormalized).
     """
     n = qo[0].shape[0]
     pad = (-n) % PACKET
@@ -283,10 +284,10 @@ def traverse_packets(qo, qd, packed: PackedMesh, leaf_k: int = 4,
         qo = tuple(padp(c, 0.0) for c in qo)
         qd = tuple(padp(c, 1.0) for c in qd)
     interpret = jax.default_backend() == "cpu"
-    t, nx, ny, nz, u, v, hit = _traverse(
+    t, nx, ny, nz, u, v, tri = _traverse(
         tuple(qo), tuple(qd), packed.nodes_f, packed.nodes_i, packed.tris,
         leaf_k, max_steps, interpret)
     if pad:
         t, nx, ny, nz = t[:n], nx[:n], ny[:n], nz[:n]
-        u, v, hit = u[:n], v[:n], hit[:n]
-    return t, (nx, ny, nz), u, v, hit.astype(bool)
+        u, v, tri = u[:n], v[:n], tri[:n]
+    return t, (nx, ny, nz), u, v, tri

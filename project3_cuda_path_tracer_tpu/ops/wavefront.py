@@ -221,13 +221,19 @@ def _mesh_hit_planar(o: V3, d: V3, times, geoms: T.Geoms,
 
 
 def _mesh_hit_packet(o: V3, d: V3, times, geoms: T.Geoms, packed,
-                     g: int) -> HitP:
+                     g: int, meshes: T.MeshBundle = None,
+                     differentiable: bool = False,
+                     tri_offset: int = 0) -> HitP:
     """MESH geom via the Pallas packet traversal (ops/pallas_bvh).
 
-    The traversal kernel has no VJP; its inputs/outputs are detached
-    (geometry selection is treated as a non-differentiable decision — the
-    detached-sampling convention extended to visibility). Shading gradients
-    (albedo/emittance) still flow through the material lookup.
+    The traversal kernel has no VJP; the winning TRIANGLE index is treated
+    as a detached discrete decision (the detached-sampling convention
+    extended to visibility). With `differentiable=True` the hit attributes
+    (t, barycentrics, smooth normal) are RECOMPUTED from the winning
+    triangle with plain jnp ops, so gradients flow through the continuous
+    geometry exactly (Moller-Trumbore is smooth in ray origin/direction);
+    the forward-only path keeps the kernel's in-kernel interpolation and
+    zero gathers.
     """
     inv = geoms.inverse_transform[g]
     fwd = geoms.transform[g]
@@ -241,9 +247,38 @@ def _mesh_hit_packet(o: V3, d: V3, times, geoms: T.Geoms, packed,
 
     from . import pallas_bvh as PB
     sg = jax.lax.stop_gradient
-    t_obj, (nlx, nly, nlz), u, v, hit = PB.traverse_packets(
+    t_obj, (nlx, nly, nlz), u, v, tri = PB.traverse_packets(
         (sg(qo.x), sg(qo.y), sg(qo.z)), (sg(qd.x), sg(qd.y), sg(qd.z)),
         packed)
+    hit = tri >= 0
+
+    if differentiable:
+        # re-derive the continuous hit attributes from the detached winner
+        tri_g = jnp.maximum(tri, 0) + tri_offset
+        take = lambda a: vec.from_rows(jnp.take(a, tri_g, axis=0))
+        v0 = take(meshes.tri_v0)
+        e1 = take(meshes.tri_e1)
+        e2 = take(meshes.tri_e2)
+        pvec = vec.cross(qd, e2)
+        det = vec.dot(e1, pvec)
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tvec = qo - v0
+        bu = vec.dot(tvec, pvec) * inv_det
+        qvec = vec.cross(tvec, e1)
+        bv = vec.dot(qd, qvec) * inv_det
+        t_obj = vec.dot(e2, qvec) * inv_det
+        bw = 1.0 - bu - bv
+        n0 = take(meshes.tri_n0)
+        n1 = take(meshes.tri_n1)
+        n2 = take(meshes.tri_n2)
+        nlx = bw * n0.x + bu * n1.x + bv * n2.x
+        nly = bw * n0.y + bu * n1.y + bv * n2.y
+        nlz = bw * n0.z + bu * n1.z + bv * n2.z
+        uv0 = jnp.take(meshes.tri_uv0, tri_g, axis=0)
+        uv1 = jnp.take(meshes.tri_uv1, tri_g, axis=0)
+        uv2 = jnp.take(meshes.tri_uv2, tri_g, axis=0)
+        u = bw * uv0[:, 0] + bu * uv1[:, 0] + bv * uv2[:, 0]
+        v = bw * uv0[:, 1] + bu * uv1[:, 1] + bv * uv2[:, 1]
 
     tb = t_obj - RAY_EPS
     ip_obj = V3(qo.x + tb * qd.x, qo.y + tb * qd.y, qo.z + tb * qd.z)
@@ -266,7 +301,8 @@ def _mesh_hit_packet(o: V3, d: V3, times, geoms: T.Geoms, packed,
 def intersect_planar(o: V3, d: V3, times, geoms: T.Geoms,
                      meshes: T.MeshBundle, geom_types: Tuple[int, ...],
                      packed_meshes: tuple = (),
-                     mesh_ids: Tuple[int, ...] = ()) -> HitP:
+                     mesh_ids: Tuple[int, ...] = (),
+                     differentiable_mesh: bool = False) -> HitP:
     """Nearest hit over all geoms (statically unrolled merge;
     reference loop: src/pathtrace.cu:176-199).
 
@@ -285,8 +321,10 @@ def intersect_planar(o: V3, d: V3, times, geoms: T.Geoms,
         if gtype == T.MESH:
             mid = mesh_ids[g] if g < len(mesh_ids) else -1
             if packed_meshes and 0 <= mid < len(packed_meshes):
-                cand = _mesh_hit_packet(o, d, times, geoms,
-                                        packed_meshes[mid], g)
+                cand = _mesh_hit_packet(
+                    o, d, times, geoms, packed_meshes[mid], g,
+                    meshes=meshes, differentiable=differentiable_mesh,
+                    tri_offset=meshes.mesh_tri_offset[mid])
             else:
                 cand = _mesh_hit_planar(o, d, times, geoms, meshes, g)
         else:

@@ -90,6 +90,10 @@ class TraceConfig:
     # Keeps packet-BVH packets screen-coherent; radiance is unswizzled by
     # one scatter at the end of the iteration.
     tile: int = 0
+    # Recompute mesh-hit attributes differentiably from the detached
+    # winning triangle (inverse rendering); forward-only rendering keeps
+    # the gather-free in-kernel interpolation.
+    differentiable_mesh: bool = False
 
 
 def _sort_paths(state: PathState, hit: wf.HitP, keys: jnp.ndarray):
@@ -152,7 +156,8 @@ def trace_wavefront(
         depth, k_d = inp
         hit = wf.intersect_planar(state.origin, state.direction, state.time,
                                   geoms, meshes, geom_types,
-                                  packed_meshes, cfg.mesh_ids)
+                                  packed_meshes, cfg.mesh_ids,
+                                  cfg.differentiable_mesh)
         return _shade_and_advance(state, radiance, hit, depth, k_d), None
 
     def _shade_and_advance(state, radiance, hit, depth, k_d):

@@ -171,3 +171,41 @@ def test_inverse_rendering_recovers_albedo():
 
     recovered = np.stack(tail).mean(axis=0)
     np.testing.assert_allclose(recovered, 0.98, atol=0.2)
+
+
+def test_grad_through_mesh_scene():
+    """Mesh scenes: the winning triangle is a detached decision but hit
+    attributes are recomputed differentiably (differentiable_mesh), so
+    gradients w.r.t. the mesh material's albedo must match finite
+    differences."""
+    import dataclasses
+    s = load_scene("scenes/mesh.txt")
+    s.camera.resolution = (32, 32)
+    s.camera.derive()
+    gt = tuple(int(x) for x in np.asarray(s.geoms.type))
+    cfg = integ.TraceConfig(
+        width=32, height=32, trace_depth=3, antialias=False,
+        geom_types=gt,
+        mesh_ids=tuple(int(m) for m in np.asarray(s.geoms.mesh_id)),
+        unroll=True, differentiable_mesh=True)
+    key = jax.random.PRNGKey(0)
+
+    def loss(params):
+        img = render_image(params, s.geoms, s.meshes, s.textures, key, cfg)
+        return jnp.sum(img ** 2) / img.size
+
+    params = RenderParams(materials=s.materials, cam=s.camera.flat())
+    g = jax.grad(loss)(params)
+    analytic = float(g.materials.color[2][0])  # the mesh material's red
+    assert np.isfinite(analytic) and analytic != 0.0
+
+    eps = 1e-2
+    def set_c(v):
+        m = dataclasses.replace(
+            params.materials,
+            color=params.materials.color.at[2, 0].set(v))
+        return params._replace(materials=m)
+    c0 = float(params.materials.color[2][0])
+    jloss = jax.jit(loss)
+    fd = (float(jloss(set_c(c0 + eps))) - float(jloss(set_c(c0 - eps)))) / (2 * eps)
+    assert analytic == pytest.approx(fd, rel=0.08, abs=1e-5)

@@ -40,7 +40,7 @@ def test_traversal_matches_xla_walk(torus_bundle):
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
 
     packed = PB.pack_mesh(torus_bundle, 0)
-    t_p, (nx, ny, nz), u_p, v_p, hit_p = PB.traverse_packets(
+    t_p, (nx, ny, nz), u_p, v_p, tri_p = PB.traverse_packets(
         (jnp.asarray(o[:, 0]), jnp.asarray(o[:, 1]), jnp.asarray(o[:, 2])),
         (jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]), jnp.asarray(d[:, 2])),
         packed)
@@ -51,7 +51,7 @@ def test_traversal_matches_xla_walk(torus_bundle):
     )(jnp.asarray(o), jnp.asarray(d))
 
     hit_r = np.asarray(tri_r) >= 0
-    np.testing.assert_array_equal(np.asarray(hit_p), hit_r)
+    np.testing.assert_array_equal(np.asarray(tri_p) >= 0, hit_r)
     np.testing.assert_allclose(np.asarray(t_p)[hit_r],
                                np.asarray(t_r)[hit_r], rtol=1e-4)
     # The packet kernel interpolates IN-KERNEL: its (u,v) are texture-space
