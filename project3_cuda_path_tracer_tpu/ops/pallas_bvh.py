@@ -254,6 +254,10 @@ def _traverse(qo_planes, qd_planes, nodes_f, nodes_i, tris, leaf_k,
     plane_i = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
 
     kernel = _traverse_kernel(leaf_k, 0, max_steps)
+    # vmem_limit_bytes raises the compiler's default 16MB scoped-VMEM budget
+    # (physical VMEM is far larger on v5e+): the whole packed mesh lives in
+    # VMEM and XLA additionally stages the ray operands there when the call
+    # sits inside a larger program.
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -261,6 +265,8 @@ def _traverse(qo_planes, qd_planes, nodes_f, nodes_i, tris, leaf_k,
         out_specs=(block,) * 7,
         out_shape=(plane_f, plane_f, plane_f, plane_f, plane_f, plane_f,
                    plane_i),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*(as2d(p) for p in qo_planes), *(as2d(p) for p in qd_planes),
       nodes_f, nodes_i, tris)
