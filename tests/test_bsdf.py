@@ -92,3 +92,46 @@ def test_schlick_limits():
     rg = float(bsdf.schlick(jnp.array([0.0]), jnp.array([1.0]),
                             jnp.array([1.5]))[0])
     assert rg == pytest.approx(1.0, abs=1e-6)
+
+
+def test_glossy_phong_lobe():
+    """SPECEX > 0 widens the mirror into a cos^n lobe: samples concentrate
+    around the reflection direction with spread shrinking as the exponent
+    grows."""
+    import dataclasses
+    from project3_cuda_path_tracer_tpu.ops import wavefront as wf, vec
+    from project3_cuda_path_tracer_tpu.ops.vec import V3
+    from project3_cuda_path_tracer_tpu.scene import types as T
+
+    n = 8192
+    mats = T.Materials.zeros(1)
+    mats = dataclasses.replace(
+        mats,
+        specular_color=jnp.ones((1, 3)),
+        has_reflective=jnp.ones((1,)),
+        color=jnp.full((1, 3), 0.5))
+
+    def spread_for(exponent):
+        m = dataclasses.replace(
+            mats, specular_exponent=jnp.full((1,), float(exponent)))
+        ones = jnp.ones((n,))
+        zeros = jnp.zeros((n,))
+        hit = wf.HitP(t=ones * 5.0, normal=V3(zeros, ones, zeros),
+                      mat_id=jnp.zeros((n,), jnp.int32),
+                      point=V3(zeros, zeros, zeros), u=zeros, v=zeros,
+                      outside=jnp.ones((n,), bool))
+        d_in = vec.normalize(V3(ones * 0.5, -ones, zeros))
+        u = jax.random.uniform(jax.random.PRNGKey(0), (4, n))
+        out = wf.shade_planar(hit, d_in, V3(ones, ones, ones),
+                              jnp.ones((n,), bool), m,
+                              T.Textures.none(1), u, jnp.zeros((n,), bool))
+        mirror = vec.normalize(V3(ones * 0.5, ones, zeros))
+        cos_to_mirror = np.asarray(vec.dot(out.direction, mirror))
+        return 1.0 - cos_to_mirror.mean()
+
+    s_exact = spread_for(0)       # perfect mirror: zero spread
+    s_wide = spread_for(8)
+    s_tight = spread_for(512)
+    assert s_exact < 1e-6
+    assert s_tight < s_wide
+    assert s_wide > 1e-3
