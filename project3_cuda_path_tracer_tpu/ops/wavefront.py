@@ -371,6 +371,51 @@ def _mat_select(table: jnp.ndarray, mat_id: jnp.ndarray):
     return V3(*accs)
 
 
+def _sample_texture_planar(textures: T.Textures, mat_id, u, v,
+                           base: V3) -> V3:
+    """Nearest-neighbor atlas fetch as three 1-D takes on [Ha*Wa] planes.
+
+    The row-based version ([N,3]-output 2-D fancy indexing) lowers to a
+    gather whose result carries the length-3 lane axis — planar flat takes
+    are the fast form of the same random access."""
+    m_count = textures.rect.shape[0]
+    rect = textures.rect
+    # unrolled per-material rect select (static M, no [N] gathers)
+    rx = _mat_select(rect[:, 0].astype(jnp.float32), mat_id)
+    ry = _mat_select(rect[:, 1].astype(jnp.float32), mat_id)
+    rw = _mat_select(rect[:, 2].astype(jnp.float32), mat_id)
+    rh = _mat_select(rect[:, 3].astype(jnp.float32), mat_id)
+    tid = _mat_select(textures.tex_id.astype(jnp.float32), mat_id)
+
+    uu = u - jnp.floor(u)
+    vv = v - jnp.floor(v)
+    xi = rx + jnp.clip(jnp.floor(uu * rw), 0.0, jnp.maximum(rw - 1, 0.0))
+    yi = ry + jnp.clip(jnp.floor((1.0 - vv) * rh), 0.0,
+                       jnp.maximum(rh - 1, 0.0))
+    ha, wa = textures.atlas.shape[0], textures.atlas.shape[1]
+    flat = (jnp.clip(yi, 0, ha - 1) * wa
+            + jnp.clip(xi, 0, wa - 1)).astype(jnp.int32)
+    ax = jnp.take(textures.atlas[:, :, 0].reshape(-1), flat)
+    ay = jnp.take(textures.atlas[:, :, 1].reshape(-1), flat)
+    az = jnp.take(textures.atlas[:, :, 2].reshape(-1), flat)
+    textured = tid >= 0
+    return vec.where(textured, V3(ax, ay, az), base)
+
+
+def _sample_env_planar(textures: T.Textures, d: V3) -> V3:
+    """Equirect environment fetch as three 1-D takes (see above)."""
+    he, we = textures.env.shape[0], textures.env.shape[1]
+    u = 0.5 + jnp.arctan2(d.x, -d.z) / (2.0 * jnp.pi)
+    v = jnp.arccos(jnp.clip(d.y, -1.0, 1.0)) / jnp.pi
+    xi = jnp.clip((u * we).astype(jnp.int32), 0, we - 1)
+    yi = jnp.clip((v * he).astype(jnp.int32), 0, he - 1)
+    flat = yi * we + xi
+    scale = textures.env_enabled
+    return V3(jnp.take(textures.env[:, :, 0].reshape(-1), flat) * scale,
+              jnp.take(textures.env[:, :, 1].reshape(-1), flat) * scale,
+              jnp.take(textures.env[:, :, 2].reshape(-1), flat) * scale)
+
+
 def cosine_hemisphere_planar(n: V3, u1, u2) -> V3:
     """calculateRandomDirectionInHemisphere (src/interactions.h:10-42)."""
     up = jnp.sqrt(u1)
@@ -404,11 +449,13 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
     albedo = _mat_select(materials.color, mat_id)
     # texture override (skipped entirely for untextured scenes — static shape)
     if textures.atlas.shape[0] > 1 or textures.atlas.shape[1] > 1:
-        from . import bsdf as bsdf_rows
-        tex = bsdf_rows.sample_texture(
-            textures, mat_id, jnp.stack([hit.u, hit.v], -1),
-            vec.to_rows(albedo))
-        albedo = vec.from_rows(tex)
+        albedo = _sample_texture_planar(textures, mat_id, hit.u, hit.v,
+                                        albedo)
+    # procedural checker (pure elementwise — the TPU-fast texture path)
+    cs = _mat_select(textures.checker_scale, mat_id)
+    c2 = _mat_select(textures.checker_color2, mat_id)
+    par = jnp.mod(jnp.floor(hit.u * cs) + jnp.floor(hit.v * cs), 2.0)
+    albedo = vec.where((cs > 0) & (par > 0.5), c2, albedo)
     spec_color = _mat_select(materials.specular_color, mat_id)
     emittance = _mat_select(materials.emittance, mat_id)
     p_refr = jnp.clip(_mat_select(materials.has_refractive, mat_id), 0., 1.)
@@ -423,12 +470,24 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
 
     # env lighting only when enabled (static shape check)
     if textures.env.shape[0] > 1 or textures.env.shape[1] > 1:
-        from . import bsdf as bsdf_rows
-        env = vec.from_rows(bsdf_rows.sample_env(textures,
-                                                 vec.to_rows(ray_d)))
+        env = _sample_env_planar(textures, ray_d)
     else:
         e = textures.env[0, 0] * textures.env_enabled
         env = vec.splat((e[0], e[1], e[2]), like=hit.t)
+    # procedural sky (elementwise; sky[0] gates it):
+    # horizon->zenith gradient on |d.y| + a sun lobe
+    sky = textures.sky
+    up_t = jnp.clip(ray_d.y, 0.0, 1.0)
+    sun = vec.normalize(V3(sky[7] + jnp.zeros_like(up_t),
+                           sky[8] + jnp.zeros_like(up_t),
+                           sky[9] + jnp.zeros_like(up_t)))
+    sun_cos = jnp.clip(vec.dot(ray_d, sun), 0.0, 1.0)
+    sun_lobe = jnp.power(sun_cos, jnp.maximum(sky[13], 1.0))
+    sky_rgb = V3(
+        sky[4] + (sky[1] - sky[4]) * up_t + sky[10] * sun_lobe,
+        sky[5] + (sky[2] - sky[5]) * up_t + sky[11] * sun_lobe,
+        sky[6] + (sky[3] - sky[6]) * up_t + sky[12] * sun_lobe)
+    env = env + sky_rgb * sky[0]
 
     lit = alive & is_light
     mis = alive & missed

@@ -125,7 +125,7 @@ class ShardedRenderer:
             mesh_ids=tuple(int(m) for m in np.asarray(scene.geoms.mesh_id)),
             unroll=bool(len(mesh_idx) and scene.packed_meshes),
         )
-        self.base_key = jax.random.PRNGKey(self.settings.seed)
+        self.base_key = jax.random.key(self.settings.seed, impl=self.settings.rng)
         self.reset()
 
     def reset(self) -> None:
@@ -144,7 +144,8 @@ class ShardedRenderer:
 
     def render(self, num_iterations: int, seed: Optional[int] = None):
         if seed is not None:
-            self.base_key = jax.random.PRNGKey(seed)
+            self.base_key = jax.random.key(
+                seed, impl=self.settings.rng)
         for _ in range(num_iterations):
             self.step()
         self.accum.block_until_ready()

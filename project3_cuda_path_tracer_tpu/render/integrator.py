@@ -290,7 +290,7 @@ class Renderer:
             tile=(32 if (len(mesh_idx) and scene.packed_meshes
                          and w % 32 == 0 and h % 32 == 0) else 0),
         )
-        self.base_key = jax.random.PRNGKey(self.settings.seed)
+        self.base_key = jax.random.key(self.settings.seed, impl=self.settings.rng)
         self.reset()
 
     def reset(self) -> None:
@@ -336,7 +336,8 @@ class Renderer:
 
     def render(self, num_iterations: int, seed: Optional[int] = None):
         if seed is not None:
-            self.base_key = jax.random.PRNGKey(seed)
+            self.base_key = jax.random.key(
+                seed, impl=self.settings.rng)
         for _ in range(num_iterations):
             self.step()
         self.accum.block_until_ready()

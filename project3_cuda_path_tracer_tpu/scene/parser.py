@@ -12,7 +12,10 @@ Extensions (gated on new keywords, so reference scenes parse unchanged):
   CAMERA keys   APERTURE r / FOCAL d       (thin-lens DoF: src/pathtrace.cu:120)
                 SHUTTER t                  (motion blur time span)
   MATERIAL key  TEXTURE <path>             (texture mapping, BASELINE config 5)
+                CHECKER s r2 g2 b2         (procedural checker: RGB vs c2)
   top-level     ENVMAP <path.hdr|.png>     (environment lighting, BASELINE config 5)
+                ENVSKY zr zg zb hr hg hb sx sy sz sunr sung sunb sharp
+                                           (procedural sky, gather-free)
 """
 from __future__ import annotations
 
@@ -83,6 +86,7 @@ def load_scene(path: str) -> T.Scene:
     cam: Optional[T.Camera] = None
     settings = T.RenderSettings()
     envmap_path: Optional[str] = None
+    envsky: Optional[list] = None
     base = os.path.dirname(os.path.abspath(path))
 
     while not cur.eof():
@@ -98,7 +102,7 @@ def load_scene(path: str) -> T.Scene:
                     f"MATERIAL ID {mid} does not match expected {len(mats)}")
             mat = dict(color=(0, 0, 0), specex=0.0, speccol=(0, 0, 0),
                        refl=0.0, refr=0.0, ior=0.0, emittance=0.0,
-                       texture=None)
+                       texture=None, checker=None)
             for row in _read_block(cur):
                 k = row[0]
                 if k == "RGB":
@@ -117,6 +121,8 @@ def load_scene(path: str) -> T.Scene:
                     mat["emittance"] = float(row[1])
                 elif k == "TEXTURE":
                     mat["texture"] = os.path.join(base, row[1])
+                elif k == "CHECKER":
+                    mat["checker"] = [float(v) for v in row[1:5]]
             mats.append(mat)
         elif kw == "OBJECT":
             gid = int(tok[1])
@@ -198,6 +204,8 @@ def load_scene(path: str) -> T.Scene:
             ).derive()
         elif kw == "ENVMAP":
             envmap_path = os.path.join(base, tok[1])
+        elif kw == "ENVSKY":
+            envsky = [float(v) for v in tok[1:14]]
 
     if cam is None:
         raise SceneParseError("scene has no CAMERA block")
@@ -250,22 +258,42 @@ def load_scene(path: str) -> T.Scene:
         meshes = T.MeshBundle.empty()
         packed = ()
 
-    textures = _load_textures(mats, envmap_path)
+    textures = _load_textures(mats, envmap_path, envsky)
 
     return T.Scene(camera=cam, settings=settings, materials=materials,
                    geoms=geom_soa, meshes=meshes, textures=textures,
                    source_path=os.path.abspath(path), packed_meshes=packed)
 
 
-def _load_textures(mats: List[dict], envmap_path: Optional[str]) -> T.Textures:
+def _load_textures(mats: List[dict], envmap_path: Optional[str],
+                   envsky: Optional[list] = None) -> T.Textures:
     from ..utils.image import read_image  # lazy: avoids cycle
+    import numpy as _np
+    m_count = max(len(mats), 1)
+    checker_scale = _np.zeros((m_count,), _np.float32)
+    checker_c2 = _np.zeros((m_count, 3), _np.float32)
+    for i, mt in enumerate(mats):
+        if mt.get("checker"):
+            c = mt["checker"]
+            checker_scale[i] = c[0]   # CHECKER s r2 g2 b2: RGB vs (r2,g2,b2)
+            checker_c2[i] = c[1:4]
+    sky = _np.zeros((14,), _np.float32)
+    if envsky is not None:
+        sky[0] = 1.0
+        sky[1:1 + len(envsky)] = envsky
+
     tex_paths = [mt["texture"] for mt in mats]
     imgs = {}
     for p in tex_paths:
         if p is not None and p not in imgs:
             imgs[p] = read_image(p)
     if not imgs and envmap_path is None:
-        return T.Textures.none(len(mats))
+        base_tex = T.Textures.none(len(mats))
+        import dataclasses as _dc
+        return _dc.replace(base_tex,
+                           checker_scale=jnp.asarray(checker_scale),
+                           checker_color2=jnp.asarray(checker_c2),
+                           sky=jnp.asarray(sky))
 
     # Pack a vertical-strip atlas (simple + static-shape friendly).
     if imgs:
@@ -299,4 +327,7 @@ def _load_textures(mats: List[dict], envmap_path: Optional[str]) -> T.Textures:
         atlas=jnp.asarray(atlas), rect=jnp.asarray(rect),
         tex_id=jnp.asarray(tex_id), env=jnp.asarray(env),
         env_enabled=jnp.asarray(env_enabled, jnp.float32),
+        checker_scale=jnp.asarray(checker_scale),
+        checker_color2=jnp.asarray(checker_c2),
+        sky=jnp.asarray(sky),
     )

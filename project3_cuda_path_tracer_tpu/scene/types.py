@@ -141,15 +141,26 @@ class Textures:
     tex_id: jnp.ndarray      # [M] int32 (-1 = none)
     env: jnp.ndarray         # [He,We,3] float32
     env_enabled: jnp.ndarray  # [] float32 (0/1)
+    # Procedural texturing (TPU-fast path: pure elementwise, no gathers).
+    # checker_scale[m] > 0 blends material color with checker_color2 on a
+    # scale-sized uv checkerboard. sky: [14] = enabled, zenith rgb,
+    # horizon rgb, sun dir xyz, sun rgb, sun sharpness.
+    checker_scale: jnp.ndarray   # [M] float32 (0 = off)
+    checker_color2: jnp.ndarray  # [M,3] float32
+    sky: jnp.ndarray             # [14] float32
 
     @staticmethod
     def none(num_materials: int) -> "Textures":
+        m = max(num_materials, 1)
         return Textures(
             atlas=jnp.zeros((1, 1, 3), jnp.float32),
-            rect=jnp.zeros((max(num_materials, 1), 4), jnp.int32),
-            tex_id=-jnp.ones((max(num_materials, 1),), jnp.int32),
+            rect=jnp.zeros((m, 4), jnp.int32),
+            tex_id=-jnp.ones((m,), jnp.int32),
             env=jnp.zeros((1, 1, 3), jnp.float32),
             env_enabled=jnp.zeros((), jnp.float32),
+            checker_scale=jnp.zeros((m,), jnp.float32),
+            checker_color2=jnp.zeros((m, 3), jnp.float32),
+            sky=jnp.zeros((14,), jnp.float32),
         )
 
 
@@ -222,6 +233,11 @@ class RenderSettings:
     first_bounce_cache: bool = False
     use_pallas: bool = True
     seed: int = 0
+    # PRNG implementation: 'rbg' (XLA RngBitGenerator — much faster on TPU,
+    # slightly weaker split/fold_in decorrelation, fine for Monte Carlo) or
+    # 'threefry2x32' (reference-grade counter RNG).
+    rng: str = "rbg"
+
 
 
 @dataclass

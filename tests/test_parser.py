@@ -111,3 +111,43 @@ VELOC 1 0 0
     assert s.camera.focal_distance == pytest.approx(5.0)
     assert s.camera.shutter == pytest.approx(0.5)
     np.testing.assert_allclose(s.geoms.velocity[0], [1, 0, 0])
+
+
+def test_procedural_checker_and_sky(tmp_path):
+    f = tmp_path / "proc.txt"
+    f.write_text("""ENVSKY 0.3 0.5 1.0 1.5 1.4 1.1 -0.6 0.45 -0.5 30 28 24 700
+
+MATERIAL 0
+RGB 0.9 0.3 0.1
+CHECKER 16 0.1 0.5 0.8
+
+CAMERA
+RES 16 16
+FOVY 45
+ITERATIONS 4
+DEPTH 3
+FILE proc
+EYE 0 2 6
+LOOKAT 0 0 0
+UP 0 1 0
+
+OBJECT 0
+cube
+material 0
+TRANS 0 -0.1 0
+ROTAT 0 0 0
+SCALE 10 0.2 10
+""")
+    s = load_scene(str(f))
+    assert float(s.textures.checker_scale[0]) == 16.0
+    np.testing.assert_allclose(np.asarray(s.textures.checker_color2[0]),
+                               [0.1, 0.5, 0.8], atol=1e-6)
+    assert float(s.textures.sky[0]) == 1.0
+    assert float(s.textures.sky[13]) == 700.0
+    # renders with nonzero sky illumination
+    from project3_cuda_path_tracer_tpu.render.integrator import Renderer
+    r = Renderer(s)
+    r.render(4)
+    img = r.image()
+    assert img.mean() > 0.05
+    assert np.isfinite(img).all()

@@ -172,3 +172,29 @@ def test_tiled_render_matches_untiled():
                               s.meshes, s.textures, key, tiled)
     np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_b),
                                atol=1e-6)
+
+
+def test_texture_env_planar_match_rows():
+    """Planar texture/env samplers must match the row-based oracles."""
+    from project3_cuda_path_tracer_tpu import load_scene
+    s = load_scene("scenes/textured_env.txt")
+    n = 1024
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.uniform(-1, 2, n).astype(np.float32))
+    v = jnp.asarray(rng.uniform(-1, 2, n).astype(np.float32))
+    mat_id = jnp.asarray(rng.integers(0, 4, n).astype(np.int32))
+    base = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+
+    rows = bsdf.sample_texture(s.textures, mat_id,
+                               jnp.stack([u, v], -1), base)
+    planar = wf._sample_texture_planar(s.textures, mat_id, u, v,
+                                       vec.from_rows(base))
+    np.testing.assert_allclose(np.asarray(vec.to_rows(planar)),
+                               np.asarray(rows), atol=1e-6)
+
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    env_rows = bsdf.sample_env(s.textures, jnp.asarray(d))
+    env_pl = wf._sample_env_planar(s.textures, vec.from_rows(jnp.asarray(d)))
+    np.testing.assert_allclose(np.asarray(vec.to_rows(env_pl)),
+                               np.asarray(env_rows), atol=1e-5)
