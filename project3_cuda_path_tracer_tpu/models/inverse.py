@@ -97,7 +97,9 @@ class InverseRenderer:
             geom_types=tuple(int(t) for t in types),
             mesh_ids=tuple(int(m) for m in np.asarray(scene.geoms.mesh_id)),
             unroll=bool(len(mesh_idx) and scene.packed_meshes),
-            differentiable_mesh=bool(len(mesh_idx)))
+            differentiable_mesh=bool(len(mesh_idx)),
+            glossy=bool(np.any(np.asarray(
+                scene.materials.specular_exponent) > 0)))
         self.scene = scene
         self.target = jnp.asarray(target, jnp.float32)
         self.params = RenderParams(materials=scene.materials,

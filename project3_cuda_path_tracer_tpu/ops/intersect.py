@@ -195,7 +195,7 @@ def primitive_hit_detail(ray_o, ray_d, times, geoms: T.Geoms, g_star) -> Hit:
 # Triangle meshes + BVH traversal (reference TODO slot: src/pathtrace.cu:188)
 # ---------------------------------------------------------------------------
 
-LEAF_K = 4  # BVH leaves hold at most LEAF_K triangles (static shape for TPU)
+LEAF_K = 8  # BVH leaves hold at most LEAF_K triangles (static shape for TPU; 8 measured ~25% faster than 4 in packet traversal)
 MAX_TRAV_STEPS = 4096
 
 

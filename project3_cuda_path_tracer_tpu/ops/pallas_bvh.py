@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..scene import types as T
+from .intersect import LEAF_K
 
 SUB = 8
 LANES = 128
@@ -273,7 +274,7 @@ def _traverse(qo_planes, qd_planes, nodes_f, nodes_i, tris, leaf_k,
     return tuple(o.reshape(-1) for o in outs)
 
 
-def traverse_packets(qo, qd, packed: PackedMesh, leaf_k: int = 4,
+def traverse_packets(qo, qd, packed: PackedMesh, leaf_k: int = LEAF_K,
                      max_steps: int = 2 ** 20):
     """Nearest-hit over the packed mesh for planar object-space rays.
 

@@ -443,8 +443,12 @@ def reflect_planar(d: V3, n: V3) -> V3:
 
 def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
                  textures: T.Textures, uniforms: jnp.ndarray,
-                 last_bounce) -> ShadeOutP:
-    """One scattering step over the wavefront; uniforms is [4,N]."""
+                 last_bounce, glossy: bool = True) -> ShadeOutP:
+    """One scattering step over the wavefront; uniforms is [4,N].
+
+    `glossy` (static) gates the Phong-lobe math — pow() is a transcendental
+    the VPU pays for on every lane, so scenes whose materials all have
+    SPECEX == 0 skip it entirely."""
     mat_id = hit.mat_id
     albedo = _mat_select(materials.color, mat_id)
     # texture override (skipped entirely for untextured scenes — static shape)
@@ -512,27 +516,30 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
     # Glossy Phong lobe: SPECEX > 0 widens the perfect mirror into a
     # cos^n lobe around the reflection direction (the Material.specular
     # .exponent field the reference defines, src/sceneStructs.h:33-35).
-    spec_exp = _mat_select(materials.specular_exponent, mat_id)
-    cos_a = jnp.power(jnp.clip(uniforms[1], 1e-9, 1.0),
-                      1.0 / (spec_exp + 1.0))
-    sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
-    phi_g = uniforms[2] * TWO_PI
-    pick_gx = jnp.abs(d_spec.x) < SQRT_OF_ONE_THIRD
-    pick_gy = (~pick_gx) & (jnp.abs(d_spec.y) < SQRT_OF_ONE_THIRD)
-    not_s = V3(jnp.where(pick_gx, 1.0, 0.0),
-               jnp.where(pick_gy, 1.0, 0.0),
-               jnp.where(pick_gx | pick_gy, 0.0, 1.0))
-    g1 = vec.normalize(vec.cross(d_spec, not_s))
-    g2 = vec.cross(d_spec, g1)
-    cg = jnp.cos(phi_g) * sin_a
-    sg = jnp.sin(phi_g) * sin_a
-    d_gloss = V3(cos_a * d_spec.x + cg * g1.x + sg * g2.x,
-                 cos_a * d_spec.y + cg * g1.y + sg * g2.y,
-                 cos_a * d_spec.z + cg * g1.z + sg * g2.z)
-    # keep the glossy sample above the surface; fall back to the mirror
-    above = vec.dot(d_gloss, n) > 0.0
-    d_gloss = vec.where(above, d_gloss, d_spec)
-    d_spec = vec.where(spec_exp > 0.0, d_gloss, d_spec)
+    if not glossy:
+        spec_exp = None
+    else:
+      spec_exp = _mat_select(materials.specular_exponent, mat_id)
+      cos_a = jnp.power(jnp.clip(uniforms[1], 1e-9, 1.0),
+                        1.0 / (spec_exp + 1.0))
+      sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+      phi_g = uniforms[2] * TWO_PI
+      pick_gx = jnp.abs(d_spec.x) < SQRT_OF_ONE_THIRD
+      pick_gy = (~pick_gx) & (jnp.abs(d_spec.y) < SQRT_OF_ONE_THIRD)
+      not_s = V3(jnp.where(pick_gx, 1.0, 0.0),
+                 jnp.where(pick_gy, 1.0, 0.0),
+                 jnp.where(pick_gx | pick_gy, 0.0, 1.0))
+      g1 = vec.normalize(vec.cross(d_spec, not_s))
+      g2 = vec.cross(d_spec, g1)
+      cg = jnp.cos(phi_g) * sin_a
+      sg = jnp.sin(phi_g) * sin_a
+      d_gloss = V3(cos_a * d_spec.x + cg * g1.x + sg * g2.x,
+                   cos_a * d_spec.y + cg * g1.y + sg * g2.y,
+                   cos_a * d_spec.z + cg * g1.z + sg * g2.z)
+      # keep the glossy sample above the surface; fall back to the mirror
+      above = vec.dot(d_gloss, n) > 0.0
+      d_gloss = vec.where(above, d_gloss, d_spec)
+      d_spec = vec.where(spec_exp > 0.0, d_gloss, d_spec)
 
     outside = hit.outside
     safe_ior = jnp.maximum(ior, 1e-6)

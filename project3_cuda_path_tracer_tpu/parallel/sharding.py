@@ -124,6 +124,8 @@ class ShardedRenderer:
             geom_types=tuple(int(t) for t in types),
             mesh_ids=tuple(int(m) for m in np.asarray(scene.geoms.mesh_id)),
             unroll=bool(len(mesh_idx) and scene.packed_meshes),
+            glossy=bool(np.any(np.asarray(
+                scene.materials.specular_exponent) > 0)),
         )
         self.base_key = jax.random.key(self.settings.seed, impl=self.settings.rng)
         self.reset()

@@ -94,6 +94,9 @@ class TraceConfig:
     # winning triangle (inverse rendering); forward-only rendering keeps
     # the gather-free in-kernel interpolation.
     differentiable_mesh: bool = False
+    # Evaluate the glossy Phong lobe (static; off when every material has
+    # SPECEX == 0 — pow() is a per-lane transcendental worth skipping).
+    glossy: bool = True
 
 
 def _sort_paths(state: PathState, hit: wf.HitP, keys: jnp.ndarray):
@@ -171,7 +174,8 @@ def trace_wavefront(
         out = wf.shade_planar(
             hit, state.direction, state.throughput, state.alive,
             materials, textures, uniforms,
-            last_bounce=jnp.broadcast_to(last, state.alive.shape))
+            last_bounce=jnp.broadcast_to(last, state.alive.shape),
+            glossy=cfg.glossy)
         if cfg.sort_materials or cfg.compact:
             pix = state.pixel_index
             radiance = V3(radiance.x.at[pix].add(out.radiance.x),
@@ -289,6 +293,8 @@ class Renderer:
             unroll=bool(len(mesh_idx) and scene.packed_meshes),
             tile=(32 if (len(mesh_idx) and scene.packed_meshes
                          and w % 32 == 0 and h % 32 == 0) else 0),
+            glossy=bool(np.any(np.asarray(
+                scene.materials.specular_exponent) > 0)),
         )
         self.base_key = jax.random.key(self.settings.seed, impl=self.settings.rng)
         self.reset()
