@@ -37,7 +37,8 @@ def main() -> int:
 
     gt = tuple(int(t) for t in np.asarray(scene.geoms.type))
     cfg = TraceConfig(width=WIDTH, height=HEIGHT, trace_depth=DEPTH,
-                      antialias=True, geom_types=gt)
+                      antialias=True, geom_types=gt,
+                      glossy=False, sky=False)
     opt, step = make_train_step(scene.geoms, scene.meshes, scene.textures,
                                 cfg)
     params = RenderParams(materials=scene.materials,

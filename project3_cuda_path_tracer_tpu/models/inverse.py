@@ -99,7 +99,8 @@ class InverseRenderer:
             unroll=bool(len(mesh_idx) and scene.packed_meshes),
             differentiable_mesh=bool(len(mesh_idx)),
             glossy=bool(np.any(np.asarray(
-                scene.materials.specular_exponent) > 0)))
+                scene.materials.specular_exponent) > 0)),
+            sky=bool(float(np.asarray(scene.textures.sky)[0]) > 0))
         self.scene = scene
         self.target = jnp.asarray(target, jnp.float32)
         self.params = RenderParams(materials=scene.materials,

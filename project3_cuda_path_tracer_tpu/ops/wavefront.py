@@ -443,12 +443,13 @@ def reflect_planar(d: V3, n: V3) -> V3:
 
 def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
                  textures: T.Textures, uniforms: jnp.ndarray,
-                 last_bounce, glossy: bool = True) -> ShadeOutP:
+                 last_bounce, glossy: bool = True,
+                 sky: bool = True) -> ShadeOutP:
     """One scattering step over the wavefront; uniforms is [4,N].
 
-    `glossy` (static) gates the Phong-lobe math — pow() is a transcendental
-    the VPU pays for on every lane, so scenes whose materials all have
-    SPECEX == 0 skip it entirely."""
+    `glossy` / `sky` (static) gate the Phong-lobe and procedural-sky math —
+    both contain pow(), a transcendental the VPU pays for on every lane, so
+    scenes that don't use them skip the work entirely."""
     mat_id = hit.mat_id
     albedo = _mat_select(materials.color, mat_id)
     # texture override (skipped entirely for untextured scenes — static shape)
@@ -478,20 +479,20 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
     else:
         e = textures.env[0, 0] * textures.env_enabled
         env = vec.splat((e[0], e[1], e[2]), like=hit.t)
-    # procedural sky (elementwise; sky[0] gates it):
-    # horizon->zenith gradient on |d.y| + a sun lobe
-    sky = textures.sky
-    up_t = jnp.clip(ray_d.y, 0.0, 1.0)
-    sun = vec.normalize(V3(sky[7] + jnp.zeros_like(up_t),
-                           sky[8] + jnp.zeros_like(up_t),
-                           sky[9] + jnp.zeros_like(up_t)))
-    sun_cos = jnp.clip(vec.dot(ray_d, sun), 0.0, 1.0)
-    sun_lobe = jnp.power(sun_cos, jnp.maximum(sky[13], 1.0))
-    sky_rgb = V3(
-        sky[4] + (sky[1] - sky[4]) * up_t + sky[10] * sun_lobe,
-        sky[5] + (sky[2] - sky[5]) * up_t + sky[11] * sun_lobe,
-        sky[6] + (sky[3] - sky[6]) * up_t + sky[12] * sun_lobe)
-    env = env + sky_rgb * sky[0]
+    if sky:
+        # procedural sky (elementwise): horizon->zenith gradient + sun lobe
+        sk = textures.sky
+        up_t = jnp.clip(ray_d.y, 0.0, 1.0)
+        sun = vec.normalize(V3(sk[7] + jnp.zeros_like(up_t),
+                               sk[8] + jnp.zeros_like(up_t),
+                               sk[9] + jnp.zeros_like(up_t)))
+        sun_cos = jnp.clip(vec.dot(ray_d, sun), 0.0, 1.0)
+        sun_lobe = jnp.power(sun_cos, jnp.maximum(sk[13], 1.0))
+        sky_rgb = V3(
+            sk[4] + (sk[1] - sk[4]) * up_t + sk[10] * sun_lobe,
+            sk[5] + (sk[2] - sk[5]) * up_t + sk[11] * sun_lobe,
+            sk[6] + (sk[3] - sk[6]) * up_t + sk[12] * sun_lobe)
+        env = env + sky_rgb * sk[0]
 
     lit = alive & is_light
     mis = alive & missed

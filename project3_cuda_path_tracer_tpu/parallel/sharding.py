@@ -126,6 +126,7 @@ class ShardedRenderer:
             unroll=bool(len(mesh_idx) and scene.packed_meshes),
             glossy=bool(np.any(np.asarray(
                 scene.materials.specular_exponent) > 0)),
+            sky=bool(float(np.asarray(scene.textures.sky)[0]) > 0),
         )
         self.base_key = jax.random.key(self.settings.seed, impl=self.settings.rng)
         self.reset()

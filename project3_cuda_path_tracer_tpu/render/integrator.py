@@ -97,6 +97,8 @@ class TraceConfig:
     # Evaluate the glossy Phong lobe (static; off when every material has
     # SPECEX == 0 — pow() is a per-lane transcendental worth skipping).
     glossy: bool = True
+    # Evaluate the procedural sky (static; off when ENVSKY is absent).
+    sky: bool = True
 
 
 def _sort_paths(state: PathState, hit: wf.HitP, keys: jnp.ndarray):
@@ -175,7 +177,7 @@ def trace_wavefront(
             hit, state.direction, state.throughput, state.alive,
             materials, textures, uniforms,
             last_bounce=jnp.broadcast_to(last, state.alive.shape),
-            glossy=cfg.glossy)
+            glossy=cfg.glossy, sky=cfg.sky)
         if cfg.sort_materials or cfg.compact:
             pix = state.pixel_index
             radiance = V3(radiance.x.at[pix].add(out.radiance.x),
@@ -295,6 +297,7 @@ class Renderer:
                          and w % 32 == 0 and h % 32 == 0) else 0),
             glossy=bool(np.any(np.asarray(
                 scene.materials.specular_exponent) > 0)),
+            sky=bool(float(np.asarray(scene.textures.sky)[0]) > 0),
         )
         self.base_key = jax.random.key(self.settings.seed, impl=self.settings.rng)
         self.reset()
