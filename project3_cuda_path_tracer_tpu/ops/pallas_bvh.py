@@ -129,7 +129,7 @@ def _traverse_kernel(leaf_k: int, root: int, max_steps: int):
     """Kernel body. Outputs per-ray: t, nx, ny, nz, u, v, hit-mask(int)."""
 
     def kernel(qox_ref, qoy_ref, qoz_ref, qdx_ref, qdy_ref, qdz_ref,
-               nodes_f_ref, nodes_i_ref, tris_ref,
+               tmax_ref, nodes_f_ref, nodes_i_ref, tris_ref,
                t_ref, nx_ref, ny_ref, nz_ref, u_ref, v_ref, tri_ref):
         qox, qoy, qoz = qox_ref[:], qoy_ref[:], qoz_ref[:]
         qdx, qdy, qdz = qdx_ref[:], qdy_ref[:], qdz_ref[:]
@@ -139,8 +139,11 @@ def _traverse_kernel(leaf_k: int, root: int, max_steps: int):
 
         shape = (SUB, LANES)
         zero = jnp.zeros(shape, jnp.float32)
+        # occlusion bound: lanes whose nearest PRIMITIVE hit is closer than
+        # a subtree's entry never descend it — the per-ray t_best starts at
+        # the caller-provided (object-space) bound instead of +inf
         init = (jnp.int32(root), jnp.int32(0),
-                jnp.full(shape, BIG, jnp.float32),
+                tmax_ref[:],
                 zero, zero, zero, zero, zero,
                 jnp.full(shape, -1, jnp.int32))
 
@@ -238,8 +241,8 @@ def _traverse_kernel(leaf_k: int, root: int, max_steps: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("leaf_k", "max_steps", "interpret"))
-def _traverse(qo_planes, qd_planes, nodes_f, nodes_i, tris, leaf_k,
-              max_steps, interpret):
+def _traverse(qo_planes, qd_planes, t_bound, nodes_f, nodes_i, tris,
+              leaf_k, max_steps, interpret):
     n = qo_planes[0].shape[0]
     assert n % PACKET == 0
     rows = n // LANES
@@ -262,7 +265,7 @@ def _traverse(qo_planes, qd_planes, nodes_f, nodes_i, tris, leaf_k,
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[block] * 6 + [full, full, full],
+        in_specs=[block] * 7 + [full, full, full],
         out_specs=(block,) * 7,
         out_shape=(plane_f, plane_f, plane_f, plane_f, plane_f, plane_f,
                    plane_i),
@@ -270,30 +273,37 @@ def _traverse(qo_planes, qd_planes, nodes_f, nodes_i, tris, leaf_k,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*(as2d(p) for p in qo_planes), *(as2d(p) for p in qd_planes),
-      nodes_f, nodes_i, tris)
+      as2d(t_bound), nodes_f, nodes_i, tris)
     return tuple(o.reshape(-1) for o in outs)
 
 
 def traverse_packets(qo, qd, packed: PackedMesh, leaf_k: int = LEAF_K,
-                     max_steps: int = 2 ** 20):
+                     max_steps: int = 2 ** 20, t_bound=None):
     """Nearest-hit over the packed mesh for planar object-space rays.
 
     qo, qd: tuples of [N] planes (padded internally to a packet multiple).
+    `t_bound` [N] (object space) is the occlusion bound — subtrees beyond
+    the ray's best-known primitive hit are pruned; None means unbounded.
     Returns (t_obj [N], normal_obj (nx,ny,nz) [N] each, u [N], v [N],
-    tri [N] int32 with -1 = miss). u/v are interpolated TEXTURE coordinates;
-    normals are the smooth interpolated object-space normals (unnormalized).
+    tri [N] int32 with -1 = miss, where "miss" includes "nothing closer
+    than t_bound"). u/v are interpolated TEXTURE coordinates; normals are
+    the smooth interpolated object-space normals (unnormalized).
     """
     n = qo[0].shape[0]
+    if t_bound is None:
+        t_bound = jnp.full((n,), BIG, jnp.float32)
     pad = (-n) % PACKET
     if pad:
         padp = lambda a, val: jnp.concatenate(
             [a, jnp.full((pad,), val, a.dtype)])
         qo = tuple(padp(c, 0.0) for c in qo)
         qd = tuple(padp(c, 1.0) for c in qd)
+        t_bound = jnp.concatenate(
+            [t_bound, jnp.full((pad,), -1.0, jnp.float32)])
     interpret = jax.default_backend() == "cpu"
     t, nx, ny, nz, u, v, tri = _traverse(
-        tuple(qo), tuple(qd), packed.nodes_f, packed.nodes_i, packed.tris,
-        leaf_k, max_steps, interpret)
+        tuple(qo), tuple(qd), t_bound, packed.nodes_f, packed.nodes_i,
+        packed.tris, leaf_k, max_steps, interpret)
     if pad:
         t, nx, ny, nz = t[:n], nx[:n], ny[:n], nz[:n]
         u, v, tri = u[:n], v[:n], tri[:n]

@@ -223,7 +223,8 @@ def _mesh_hit_planar(o: V3, d: V3, times, geoms: T.Geoms,
 def _mesh_hit_packet(o: V3, d: V3, times, geoms: T.Geoms, packed,
                      g: int, meshes: T.MeshBundle = None,
                      differentiable: bool = False,
-                     tri_offset: int = 0) -> HitP:
+                     tri_offset: int = 0,
+                     t_world_bound=None) -> HitP:
     """MESH geom via the Pallas packet traversal (ops/pallas_bvh).
 
     The traversal kernel has no VJP; the winning TRIANGLE index is treated
@@ -247,9 +248,17 @@ def _mesh_hit_packet(o: V3, d: V3, times, geoms: T.Geoms, packed,
 
     from . import pallas_bvh as PB
     sg = jax.lax.stop_gradient
+    t_bound = None
+    if t_world_bound is not None:
+        # occlusion bound in object units: world distance along the ray is
+        # t_obj * |M_linear qd| (exact for affine transforms); small slack
+        # keeps borderline hits for the world-space merge to adjudicate
+        md = vec.xform_dir(fwd, qd)
+        t_bound = sg(t_world_bound / jnp.maximum(vec.norm(md), 1e-12)
+                     * 1.0005 + 1e-3)
     t_obj, (nlx, nly, nlz), u, v, tri = PB.traverse_packets(
         (sg(qo.x), sg(qo.y), sg(qo.z)), (sg(qd.x), sg(qd.y), sg(qd.z)),
-        packed)
+        packed, t_bound=t_bound)
     hit = tri >= 0
 
     if differentiable:
@@ -317,20 +326,9 @@ def intersect_planar(o: V3, d: V3, times, geoms: T.Geoms,
                 u=jnp.zeros((n,), jnp.float32),
                 v=jnp.zeros((n,), jnp.float32),
                 outside=jnp.ones((n,), bool))
-    for g, gtype in enumerate(geom_types):
-        if gtype == T.MESH:
-            mid = mesh_ids[g] if g < len(mesh_ids) else -1
-            if packed_meshes and 0 <= mid < len(packed_meshes):
-                cand = _mesh_hit_packet(
-                    o, d, times, geoms, packed_meshes[mid], g,
-                    meshes=meshes, differentiable=differentiable_mesh,
-                    tri_offset=meshes.mesh_tri_offset[mid])
-            else:
-                cand = _mesh_hit_planar(o, d, times, geoms, meshes, g)
-        else:
-            cand = _primitive_hit_planar(o, d, times, geoms, g, gtype)
+    def merge(best, cand):
         closer = cand.t < best.t
-        best = HitP(
+        return HitP(
             t=jnp.where(closer, cand.t, best.t),
             normal=vec.where(closer, cand.normal, best.normal),
             mat_id=jnp.where(closer, cand.mat_id, best.mat_id),
@@ -338,6 +336,26 @@ def intersect_planar(o: V3, d: V3, times, geoms: T.Geoms,
             u=jnp.where(closer, cand.u, best.u),
             v=jnp.where(closer, cand.v, best.v),
             outside=jnp.where(closer, cand.outside, best.outside))
+
+    # primitives first: their nearest hit becomes the meshes' occlusion
+    # bound, letting the packet traversal prune subtrees behind known hits
+    for g, gtype in enumerate(geom_types):
+        if gtype != T.MESH:
+            best = merge(best, _primitive_hit_planar(o, d, times, geoms, g,
+                                                     gtype))
+    for g, gtype in enumerate(geom_types):
+        if gtype != T.MESH:
+            continue
+        mid = mesh_ids[g] if g < len(mesh_ids) else -1
+        if packed_meshes and 0 <= mid < len(packed_meshes):
+            cand = _mesh_hit_packet(
+                o, d, times, geoms, packed_meshes[mid], g,
+                meshes=meshes, differentiable=differentiable_mesh,
+                tri_offset=meshes.mesh_tri_offset[mid],
+                t_world_bound=best.t)
+        else:
+            cand = _mesh_hit_planar(o, d, times, geoms, meshes, g)
+        best = merge(best, cand)
     miss = best.t >= BIG
     return best._replace(t=jnp.where(miss, -1.0, best.t),
                          mat_id=jnp.where(miss, 0, best.mat_id))
