@@ -68,3 +68,33 @@ def sort_permutation(keys: jnp.ndarray) -> jnp.ndarray:
 def apply_permutation(tree, perm: jnp.ndarray):
     """Gather every leaf of a pytree of [N,...] arrays by `perm`."""
     return jax.tree_util.tree_map(lambda a: jnp.take(a, perm, axis=0), tree)
+
+
+def bucket_sort_permutation(bucket_ids: jnp.ndarray,
+                            num_buckets: int) -> jnp.ndarray:
+    """Stable counting-sort permutation for a SMALL static bucket count.
+
+    O(num_buckets) exclusive scans instead of a full argsort — the right
+    shape for material routing where buckets = materials + miss + dead
+    (the reference's sort-by-material-key idiom, src/pathtrace.cu:366-367).
+    """
+    n = bucket_ids.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    dest = jnp.zeros((n,), jnp.int32)
+    offset = jnp.int32(0)
+    for b in range(num_buckets):
+        mask = (bucket_ids == b).astype(jnp.int32)
+        ranks = exclusive_scan(mask)
+        count = ranks[-1] + mask[-1]
+        dest = jnp.where(mask > 0, offset + ranks, dest)
+        offset = offset + count
+    return jnp.zeros((n,), jnp.int32).at[dest].set(idx)
+
+
+def material_bucket_ids(alive: jnp.ndarray, hit_t: jnp.ndarray,
+                        mat_id: jnp.ndarray, num_materials: int):
+    """(bucket_ids, num_buckets): live hits by material, then live misses,
+    then dead lanes."""
+    m = jnp.where(hit_t > 0, mat_id, jnp.int32(num_materials))
+    ids = jnp.where(alive, m, jnp.int32(num_materials + 1))
+    return ids, num_materials + 2

@@ -101,16 +101,6 @@ class TraceConfig:
     sky: bool = True
 
 
-def _sort_paths(state: PathState, hit: wf.HitP, keys: jnp.ndarray):
-    """Stable-sort the wavefront by `keys` (ascending). This is the TPU form
-    of both reference idioms: material-key sorting for coherent shading
-    (src/pathtrace.cu:366-367) and stream compaction of dead paths
-    (src/pathtrace.cu:313-317) — a sort that clusters live paths in front."""
-    perm = compaction.sort_permutation(keys)
-    return (compaction.apply_permutation(state, perm),
-            compaction.apply_permutation(hit, perm))
-
-
 def trace_wavefront(
     materials: T.Materials,
     cam: dict,
@@ -167,9 +157,12 @@ def trace_wavefront(
 
     def _shade_and_advance(state, radiance, hit, depth, k_d):
         if cfg.sort_materials or cfg.compact:
-            sort_key = compaction.material_sort_key(state.alive, hit.t,
-                                                    hit.mat_id)
-            state, hit = _sort_paths(state, hit, sort_key)
+            num_m = materials.color.shape[0]
+            ids, buckets = compaction.material_bucket_ids(
+                state.alive, hit.t, hit.mat_id, num_m)
+            perm = compaction.bucket_sort_permutation(ids, buckets)
+            state = compaction.apply_permutation(state, perm)
+            hit = compaction.apply_permutation(hit, perm)
 
         uniforms = jax.random.uniform(k_d, (4, n), jnp.float32)
         last = depth >= (cfg.trace_depth - 1)

@@ -44,3 +44,16 @@ def test_apply_permutation_pytree():
     out = compact.apply_permutation(tree, perm)
     np.testing.assert_array_equal(np.asarray(out["a"]), [2, 0, 1])
     np.testing.assert_array_equal(np.asarray(out["b"])[0], [4, 5])
+
+
+def test_bucket_sort_matches_argsort():
+    import numpy as np
+    rng = np.random.default_rng(0)
+    n = 1000
+    alive = jnp.asarray(rng.random(n) > 0.3)
+    hit_t = jnp.asarray(rng.uniform(-1, 5, n).astype(np.float32))
+    mat = jnp.asarray(rng.integers(0, 5, n).astype(np.int32))
+    ids, buckets = compact.material_bucket_ids(alive, hit_t, mat, 5)
+    perm_b = compact.bucket_sort_permutation(ids, buckets)
+    perm_a = compact.sort_permutation(ids)
+    np.testing.assert_array_equal(np.asarray(perm_b), np.asarray(perm_a))
