@@ -240,9 +240,10 @@ def _traverse_kernel(leaf_k: int, root: int, max_steps: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("leaf_k", "max_steps", "interpret"))
+                   static_argnames=("leaf_k", "max_steps", "interpret",
+                                    "sub"))
 def _traverse(qo_planes, qd_planes, t_bound, nodes_f, nodes_i, tris,
-              leaf_k, max_steps, interpret):
+              leaf_k, max_steps, interpret, sub=False):
     n = qo_planes[0].shape[0]
     assert n % PACKET == 0
     rows = n // LANES
@@ -257,7 +258,8 @@ def _traverse(qo_planes, qd_planes, t_bound, nodes_f, nodes_i, tris,
     plane_f = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     plane_i = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
 
-    kernel = _traverse_kernel(leaf_k, 0, max_steps)
+    kernel = (_traverse_kernel_sub(leaf_k, 0, max_steps) if sub
+              else _traverse_kernel(leaf_k, 0, max_steps))
     # vmem_limit_bytes raises the compiler's default 16MB scoped-VMEM budget
     # (physical VMEM is far larger on v5e+): the whole packed mesh lives in
     # VMEM and XLA additionally stages the ray operands there when the call
@@ -278,7 +280,8 @@ def _traverse(qo_planes, qd_planes, t_bound, nodes_f, nodes_i, tris,
 
 
 def traverse_packets(qo, qd, packed: PackedMesh, leaf_k: int = LEAF_K,
-                     max_steps: int = 2 ** 20, t_bound=None):
+                     max_steps: int = 2 ** 20, t_bound=None,
+                     sub_packets: bool = True):
     """Nearest-hit over the packed mesh for planar object-space rays.
 
     qo, qd: tuples of [N] planes (padded internally to a packet multiple).
@@ -303,8 +306,169 @@ def traverse_packets(qo, qd, packed: PackedMesh, leaf_k: int = LEAF_K,
     interpret = jax.default_backend() == "cpu"
     t, nx, ny, nz, u, v, tri = _traverse(
         tuple(qo), tuple(qd), t_bound, packed.nodes_f, packed.nodes_i,
-        packed.tris, leaf_k, max_steps, interpret)
+        packed.tris, leaf_k, max_steps, interpret, sub_packets)
     if pad:
         t, nx, ny, nz = t[:n], nx[:n], ny[:n], nz[:n]
         u, v, tri = u[:n], v[:n], tri[:n]
     return t, (nx, ny, nz), u, v, tri
+
+
+# ---------------------------------------------------------------------------
+# Sub-packet traversal: 8 independent cursors, one per sublane row.
+# Incoherent wavefronts make a single shared cursor visit the union of 1024
+# rays' node sets; giving each 128-lane row its own cursor shrinks the
+# per-row union ~5x (measured by simulation) while the row-wise node data
+# broadcast keeps the VPU fully utilized — 8 scalar row loads per step feed
+# one (8,128) vector test.
+# ---------------------------------------------------------------------------
+
+def _traverse_kernel_sub(leaf_k: int, root: int, max_steps: int):
+    def kernel(qox_ref, qoy_ref, qoz_ref, qdx_ref, qdy_ref, qdz_ref,
+               tmax_ref, nodes_f_ref, nodes_i_ref, tris_ref,
+               t_ref, nx_ref, ny_ref, nz_ref, u_ref, v_ref, tri_ref):
+        qox, qoy, qoz = qox_ref[:], qoy_ref[:], qoz_ref[:]
+        qdx, qdy, qdz = qdx_ref[:], qdy_ref[:], qdz_ref[:]
+        idx = 1.0 / qdx
+        idy = 1.0 / qdy
+        idz = 1.0 / qdz
+
+        shape = (SUB, LANES)
+        zero = jnp.zeros(shape, jnp.float32)
+        cursors0 = tuple(jnp.int32(root) for _ in range(SUB))
+        init = cursors0 + (jnp.int32(0),
+                           tmax_ref[:],
+                           zero, zero, zero, zero, zero,
+                           jnp.full(shape, -1, jnp.int32))
+
+        def cond(state):
+            alive = state[0] >= 0
+            for r in range(1, SUB):
+                alive = alive | (state[r] >= 0)
+            return alive & (state[SUB] < max_steps)
+
+        def body(state):
+            cursors = state[:SUB]
+            step = state[SUB]
+            t_best, nx, ny, nz, uu, vv, tri = state[SUB + 1:]
+
+            safe = [jnp.maximum(c, 0) for c in cursors]
+            rows_f = [nodes_f_ref[s] for s in safe]
+            skips = [nodes_i_ref[s, 0] for s in safe]
+            metas = [nodes_i_ref[s, 1] for s in safe]
+
+            def col(vals):
+                return jnp.stack(vals).reshape(SUB, 1)
+
+            lox = col([r[0] for r in rows_f])
+            loy = col([r[1] for r in rows_f])
+            loz = col([r[2] for r in rows_f])
+            hix = col([r[3] for r in rows_f])
+            hiy = col([r[4] for r in rows_f])
+            hiz = col([r[5] for r in rows_f])
+            active = col([(c >= 0).astype(jnp.float32) for c in cursors]) > 0
+
+            t1x = (lox - qox) * idx
+            t2x = (hix - qox) * idx
+            t1y = (loy - qoy) * idy
+            t2y = (hiy - qoy) * idy
+            t1z = (loz - qoz) * idz
+            t2z = (hiz - qoz) * idz
+            tmin = jnp.maximum(jnp.minimum(t1x, t2x),
+                               jnp.maximum(jnp.minimum(t1y, t2y),
+                                           jnp.minimum(t1z, t2z)))
+            tmax = jnp.minimum(jnp.maximum(t1x, t2x),
+                               jnp.minimum(jnp.maximum(t1y, t2y),
+                                           jnp.maximum(t1z, t2z)))
+            lane_hit = ((tmax >= tmin) & (tmax > 0) & (tmin < t_best)
+                        & active)
+            # int32 row-wise any: Mosaic cannot extract scalar bools
+            row_hit_i = jnp.max(lane_hit.astype(jnp.int32), axis=1,
+                                keepdims=True)           # (SUB,1) int32
+            row_hit = row_hit_i > 0
+
+            is_leaf = col([(m >= 0).astype(jnp.float32) for m in metas]) > 0
+            do_leaf = row_hit & is_leaf
+
+            starts = [jnp.maximum(m, 0) // 16 for m in metas]
+            counts = [jnp.maximum(m, 0) - (jnp.maximum(m, 0) // 16) * 16
+                      for m in metas]
+            counts_col = col(counts).astype(jnp.float32)
+
+            for k in range(leaf_k):
+                rows_t = [tris_ref[s + k] for s in starts]
+                v0x = col([r[0] for r in rows_t])
+                v0y = col([r[1] for r in rows_t])
+                v0z = col([r[2] for r in rows_t])
+                e1x = col([r[3] for r in rows_t])
+                e1y = col([r[4] for r in rows_t])
+                e1z = col([r[5] for r in rows_t])
+                e2x = col([r[6] for r in rows_t])
+                e2y = col([r[7] for r in rows_t])
+                e2z = col([r[8] for r in rows_t])
+                in_leaf = counts_col > k
+
+                pvx = qdy * e2z - qdz * e2y
+                pvy = qdz * e2x - qdx * e2z
+                pvz = qdx * e2y - qdy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                ok_det = jnp.abs(det) > 1e-12
+                inv_det = jnp.where(ok_det, 1.0 / det, 0.0)
+                tvx = qox - v0x
+                tvy = qoy - v0y
+                tvz = qoz - v0z
+                bu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                bv = (qdx * qvx + qdy * qvy + qdz * qvz) * inv_det
+                t_k = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                hit_k = (ok_det & (bu >= 0) & (bv >= 0) & (bu + bv <= 1)
+                         & (t_k > 1e-6) & (t_k < t_best) & in_leaf
+                         & do_leaf)
+                bw = 1.0 - bu - bv
+                nkx = bw * col([r[9] for r in rows_t]) \
+                    + bu * col([r[12] for r in rows_t]) \
+                    + bv * col([r[15] for r in rows_t])
+                nky = bw * col([r[10] for r in rows_t]) \
+                    + bu * col([r[13] for r in rows_t]) \
+                    + bv * col([r[16] for r in rows_t])
+                nkz = bw * col([r[11] for r in rows_t]) \
+                    + bu * col([r[14] for r in rows_t]) \
+                    + bv * col([r[17] for r in rows_t])
+                uk = bw * col([r[18] for r in rows_t]) \
+                    + bu * col([r[20] for r in rows_t]) \
+                    + bv * col([r[22] for r in rows_t])
+                vk = bw * col([r[19] for r in rows_t]) \
+                    + bu * col([r[21] for r in rows_t]) \
+                    + bv * col([r[23] for r in rows_t])
+                tri_ids = col([s + k for s in starts])
+                t_best = jnp.where(hit_k, t_k, t_best)
+                nx = jnp.where(hit_k, nkx, nx)
+                ny = jnp.where(hit_k, nky, ny)
+                nz = jnp.where(hit_k, nkz, nz)
+                uu = jnp.where(hit_k, uk, uu)
+                vv = jnp.where(hit_k, vk, vv)
+                tri = jnp.where(hit_k, tri_ids, tri)
+
+            new_cursors = []
+            for r in range(SUB):
+                rh = row_hit_i[r, 0] > 0      # scalar int32 -> scalar bool
+                il = metas[r] >= 0            # scalar compare
+                nxt = jnp.where(rh & ~il, cursors[r] + 1, skips[r])
+                new_cursors.append(
+                    jnp.where(cursors[r] >= 0, nxt, jnp.int32(-1)))
+
+            return tuple(new_cursors) + (step + 1, t_best, nx, ny, nz,
+                                         uu, vv, tri)
+
+        out = jax.lax.while_loop(cond, body, init)
+        t_best, nx, ny, nz, uu, vv, tri = out[SUB + 1:]
+        t_ref[:] = t_best
+        nx_ref[:] = nx
+        ny_ref[:] = ny
+        nz_ref[:] = nz
+        u_ref[:] = uu
+        v_ref[:] = vv
+        tri_ref[:] = tri
+
+    return kernel
