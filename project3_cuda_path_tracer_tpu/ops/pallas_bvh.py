@@ -281,7 +281,7 @@ def _traverse(qo_planes, qd_planes, t_bound, nodes_f, nodes_i, tris,
 
 def traverse_packets(qo, qd, packed: PackedMesh, leaf_k: int = LEAF_K,
                      max_steps: int = 2 ** 20, t_bound=None,
-                     sub_packets: bool = True):
+                     sub_packets: bool = False):
     """Nearest-hit over the packed mesh for planar object-space rays.
 
     qo, qd: tuples of [N] planes (padded internally to a packet multiple).
@@ -317,9 +317,13 @@ def traverse_packets(qo, qd, packed: PackedMesh, leaf_k: int = LEAF_K,
 # Sub-packet traversal: 8 independent cursors, one per sublane row.
 # Incoherent wavefronts make a single shared cursor visit the union of 1024
 # rays' node sets; giving each 128-lane row its own cursor shrinks the
-# per-row union ~5x (measured by simulation) while the row-wise node data
-# broadcast keeps the VPU fully utilized — 8 scalar row loads per step feed
-# one (8,128) vector test.
+# per-row union ~5x (measured by simulation).
+#
+# MEASURED RESULT on v5e: despite the smaller unions, this variant is far
+# SLOWER than the shared cursor — the per-step cost (8 scalar row loads,
+# an 8-scalar carried cursor chain, per-row masked leaf phase with up to
+# leaf_k*8 scalar loads) dwarfs the union savings in Mosaic's lowering.
+# Kept as a documented experiment (sub_packets=True), not the default.
 # ---------------------------------------------------------------------------
 
 def _traverse_kernel_sub(leaf_k: int, root: int, max_steps: int):
