@@ -18,9 +18,9 @@ DEPTH = 8
 TIMED_STEPS = 10
 
 # Round-1 recorded values on one TPU v5e chip (via axon):
-#   forward-only: 6.49e8 path-segments/s (500spp in 3.9s)
-#   fwd+bwd train step: 1.05e8 path-segments/s (48.6 ms/step)
-ROUND1_BASELINE_FWDBWD = 1.05e8
+#   forward-only: ~5.4e8 path-segments/s steady (9.5 ms/iter)
+#   fwd+bwd train step: 1.04e8 path-segments/s (49.3 ms/step)
+ROUND1_BASELINE_FWDBWD = 1.04e8
 
 
 def main() -> int:
