@@ -15,12 +15,15 @@ import time
 
 WIDTH = HEIGHT = 800
 DEPTH = 8
-TIMED_STEPS = 10
+TIMED_STEPS = 20
 
 # Round-1 recorded values on one TPU v5e chip (via axon):
 #   forward-only: ~5.4e8 path-segments/s steady (9.5 ms/iter)
-#   fwd+bwd train step: 1.04e8 path-segments/s (49.3 ms/step)
-ROUND1_BASELINE_FWDBWD = 1.04e8
+#   fwd+bwd train step: 1.04e8 segs/s inline (49.3 ms/step); bench.py's
+#   own standalone-process conditions measured ~3.9e7 (per-step dispatch
+#   overhead over the axon tunnel) — the baseline uses bench.py conditions
+#   so cross-round ratios compare like with like.
+ROUND1_BASELINE_FWDBWD = 3.9e7
 
 
 def main() -> int:

@@ -68,7 +68,9 @@ def make_train_step(geoms, meshes, textures, cfg: integ.TraceConfig,
     opt = optimizer or optax.adam(1e-2)
     loss_fn = unbiased_mse_grad_loss if unbiased else mse_loss
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0, 1))
     def step(params: RenderParams, opt_state, key, target):
         loss, grads = jax.value_and_grad(loss_fn)(
             params, geoms, meshes, textures, key, cfg, target)
