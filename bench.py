@@ -44,8 +44,9 @@ def main() -> int:
                       glossy=False, sky=False)
     opt, step = make_train_step(scene.geoms, scene.meshes, scene.textures,
                                 cfg)
-    params = RenderParams(materials=scene.materials,
-                          cam=scene.camera.flat())
+    params = jax.tree_util.tree_map(          # copy: the step donates
+        jnp.array, RenderParams(materials=scene.materials,
+                                cam=scene.camera.flat()))
     opt_state = opt.init(params)
     target = jnp.zeros((HEIGHT, WIDTH, 3), jnp.float32)
     key = jax.random.PRNGKey(0)

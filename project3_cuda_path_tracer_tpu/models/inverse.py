@@ -63,7 +63,11 @@ def make_train_step(geoms, meshes, textures, cfg: integ.TraceConfig,
                     optimizer=None, unbiased: bool = True):
     """Build a jitted (params, opt_state, key, target) -> (params, opt_state,
     loss) step. Under a sharded jit the pixel loss is data-parallel and the
-    replicated-parameter gradients get an automatic psum over the mesh."""
+    replicated-parameter gradients get an automatic psum over the mesh.
+
+    The step DONATES params/opt_state — do not pass arrays you still need
+    (copy with tree_map(jnp.array, ...) first if they alias scene tables).
+    """
     import optax
     opt = optimizer or optax.adam(1e-2)
     loss_fn = unbiased_mse_grad_loss if unbiased else mse_loss
@@ -105,8 +109,11 @@ class InverseRenderer:
             sky=bool(float(np.asarray(scene.textures.sky)[0]) > 0))
         self.scene = scene
         self.target = jnp.asarray(target, jnp.float32)
-        self.params = RenderParams(materials=scene.materials,
-                                   cam=scene.camera.flat())
+        # copy: the train step donates its param buffers, and params must
+        # not alias the scene's material tables (donation would delete them)
+        self.params = jax.tree_util.tree_map(
+            jnp.array, RenderParams(materials=scene.materials,
+                                    cam=scene.camera.flat()))
         self.opt, self._step = make_train_step(
             scene.geoms, scene.meshes, scene.textures, self.cfg,
             optimizer=optax.adam(learning_rate))
