@@ -29,20 +29,23 @@ class RenderParams(NamedTuple):
 
 
 def render_image(params: RenderParams, geoms, meshes, textures, key,
-                 cfg: integ.TraceConfig) -> jnp.ndarray:
+                 cfg: integ.TraceConfig, packed_meshes=()) -> jnp.ndarray:
     """One-iteration radiance estimate [H,W,3], differentiable in params."""
     return integ.render_radiance(params.materials, params.cam, geoms, meshes,
-                                 textures, key, cfg)
+                                 textures, key, cfg,
+                                 packed_meshes=packed_meshes)
 
 
 def mse_loss(params: RenderParams, geoms, meshes, textures, key, cfg,
-             target: jnp.ndarray) -> jnp.ndarray:
-    img = render_image(params, geoms, meshes, textures, key, cfg)
+             target: jnp.ndarray, packed_meshes=()) -> jnp.ndarray:
+    img = render_image(params, geoms, meshes, textures, key, cfg,
+                       packed_meshes)
     return jnp.mean((img - target) ** 2)
 
 
 def unbiased_mse_grad_loss(params: RenderParams, geoms, meshes, textures,
-                           key, cfg, target: jnp.ndarray) -> jnp.ndarray:
+                           key, cfg, target: jnp.ndarray,
+                           packed_meshes=()) -> jnp.ndarray:
     """Surrogate loss whose gradient is an unbiased estimator of
     d/dθ (E[L] - target)².
 
@@ -54,13 +57,16 @@ def unbiased_mse_grad_loss(params: RenderParams, geoms, meshes, textures,
     with another, so the cross term is E[L_a-target]·E[dL_b/dθ]."""
     k_primal, k_diff = jax.random.split(key)
     primal = jax.lax.stop_gradient(
-        render_image(params, geoms, meshes, textures, k_primal, cfg))
-    diff = render_image(params, geoms, meshes, textures, k_diff, cfg)
+        render_image(params, geoms, meshes, textures, k_primal, cfg,
+                     packed_meshes))
+    diff = render_image(params, geoms, meshes, textures, k_diff, cfg,
+                        packed_meshes)
     return 2.0 * jnp.mean((primal - target) * diff)
 
 
 def make_train_step(geoms, meshes, textures, cfg: integ.TraceConfig,
-                    optimizer=None, unbiased: bool = True):
+                    optimizer=None, unbiased: bool = True,
+                    packed_meshes=()):
     """Build a jitted (params, opt_state, key, target) -> (params, opt_state,
     loss) step. Under a sharded jit the pixel loss is data-parallel and the
     replicated-parameter gradients get an automatic psum over the mesh.
@@ -77,7 +83,8 @@ def make_train_step(geoms, meshes, textures, cfg: integ.TraceConfig,
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params: RenderParams, opt_state, key, target):
         loss, grads = jax.value_and_grad(loss_fn)(
-            params, geoms, meshes, textures, key, cfg, target)
+            params, geoms, meshes, textures, key, cfg, target,
+            packed_meshes)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -116,7 +123,8 @@ class InverseRenderer:
                                     cam=scene.camera.flat()))
         self.opt, self._step = make_train_step(
             scene.geoms, scene.meshes, scene.textures, self.cfg,
-            optimizer=optax.adam(learning_rate))
+            optimizer=optax.adam(learning_rate),
+            packed_meshes=scene.packed_meshes)
         self.opt_state = self.opt.init(self.params)
         self.key = jax.random.PRNGKey(seed)
         self.spp = spp_per_step

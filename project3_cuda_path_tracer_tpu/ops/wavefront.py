@@ -211,10 +211,17 @@ def _mesh_hit_planar(o: V3, d: V3, times, geoms: T.Geoms,
                      meshes: T.MeshBundle, g: int) -> HitP:
     """MESH geom via the XLA BVH traversal (row-major internally for the
     gather-heavy tree walk; converted at the boundary). Fallback path — the
-    production route is `_mesh_hit_packet`."""
+    production route is `_mesh_hit_packet`.
+
+    Detached like the packet path: the tree walk's while_loop has no
+    reverse rule, so its inputs/outputs are stop_gradient'ed (visibility is
+    a discrete decision; shading gradients still flow)."""
     from . import intersect as isect_rows
-    h = isect_rows.mesh_hit(vec.to_rows(o), vec.to_rows(d), times, geoms,
+    sg = jax.lax.stop_gradient
+    h = isect_rows.mesh_hit(sg(vec.to_rows(o)), sg(vec.to_rows(d)),
+                            sg(times), jax.tree_util.tree_map(sg, geoms),
                             meshes, g)
+    h = jax.tree_util.tree_map(sg, h)
     return HitP(t=h.t, normal=vec.from_rows(h.normal), mat_id=h.mat_id,
                 point=vec.from_rows(h.point), u=h.uv[:, 0], v=h.uv[:, 1],
                 outside=h.outside)

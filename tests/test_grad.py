@@ -191,7 +191,8 @@ def test_grad_through_mesh_scene():
     key = jax.random.PRNGKey(0)
 
     def loss(params):
-        img = render_image(params, s.geoms, s.meshes, s.textures, key, cfg)
+        img = render_image(params, s.geoms, s.meshes, s.textures, key, cfg,
+                           packed_meshes=s.packed_meshes)
         return jnp.sum(img ** 2) / img.size
 
     params = RenderParams(materials=s.materials, cam=s.camera.flat())
