@@ -174,12 +174,19 @@ def _make_kernel(sc: _SceneConst, width: int, height: int, depth: int,
         thx = jnp.ones(shape, jnp.float32)
         thy = jnp.ones(shape, jnp.float32)
         thz = jnp.ones(shape, jnp.float32)
-        alive = valid
+        alive_f = valid.astype(jnp.float32)  # f32 mask: bool loop carries
+                                             # are fragile in Mosaic
         rad_x = jnp.zeros(shape, jnp.float32)
         rad_y = jnp.zeros(shape, jnp.float32)
         rad_z = jnp.zeros(shape, jnp.float32)
 
-        for bounce in range(depth):
+        # The depth loop is a fori_loop so Mosaic compiles ONE bounce body
+        # (the fully unrolled form compiled ~8x slower); the final
+        # iteration's scatter phase is dead state, a ~1/depth overhead.
+        def depth_body(bounce, carry):
+            (ox, oy, oz, dx, dy, dz, thx, thy, thz, alive_f,
+             rad_x, rad_y, rad_z) = carry
+            alive = alive_f > 0.5
             # ---- intersect: best-hit merge over baked geoms --------------
             bt = jnp.full(shape, BIG, jnp.float32)
             bnx = jnp.zeros(shape, jnp.float32)
@@ -315,9 +322,6 @@ def _make_kernel(sc: _SceneConst, width: int, height: int, depth: int,
             rad_z = rad_z + thz * alb_z * litf
             # (miss: background black, reference src/sceneStructs.h:8)
 
-            if bounce == depth - 1:
-                break
-
             # ---- scatter -------------------------------------------------
             u_lobe = _u01(shape)
             u1 = _u01(shape)
@@ -406,7 +410,15 @@ def _make_kernel(sc: _SceneConst, width: int, height: int, depth: int,
             oy = bpy + push * ndy
             oz = bpz + push * ndz
             dx, dy, dz = ndx, ndy, ndz
-            alive = scattering
+            alive_f = scattering.astype(jnp.float32)
+            return (ox, oy, oz, dx, dy, dz, thx, thy, thz, alive_f,
+                    rad_x, rad_y, rad_z)
+
+        carry = jax.lax.fori_loop(
+            0, depth, depth_body,
+            (ox, oy, oz, dx, dy, dz, thx, thy, thz, alive_f,
+             rad_x, rad_y, rad_z))
+        rad_x, rad_y, rad_z = carry[-3], carry[-2], carry[-1]
 
         ox_ref[:] = ax_ref[:] + rad_x
         oy_ref[:] = ay_ref[:] + rad_y
