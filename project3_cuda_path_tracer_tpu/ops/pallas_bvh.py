@@ -151,13 +151,15 @@ def _traverse_kernel(leaf_k: int, root: int, max_steps: int):
             cur, step = state[0], state[1]
             return (cur >= 0) & (step < max_steps)
 
-        def body(state):
-            cur, step, t_best, nx, ny, nz, uu, vv, tri = state
-            row = nodes_f_ref[cur]        # [8] scalar row load
+        def one_node(cur, active, t_best, nx, ny, nz, uu, vv, tri):
+            """Visit node `cur` (masked by scalar `active`); returns the next
+            cursor and the updated hit state."""
+            safe = jnp.maximum(cur, 0)
+            row = nodes_f_ref[safe]       # [8] scalar row load
             lox, loy, loz = row[0], row[1], row[2]
             hix, hiy, hiz = row[3], row[4], row[5]
-            skip = nodes_i_ref[cur, 0]
-            meta = nodes_i_ref[cur, 1]
+            skip = nodes_i_ref[safe, 0]
+            meta = nodes_i_ref[safe, 1]
 
             t1x = (lox - qox) * idx
             t2x = (hix - qox) * idx
@@ -172,7 +174,7 @@ def _traverse_kernel(leaf_k: int, root: int, max_steps: int):
                                jnp.minimum(jnp.maximum(t1y, t2y),
                                            jnp.maximum(t1z, t2z)))
             lane_hit = (tmax >= tmin) & (tmax > 0) & (tmin < t_best)
-            any_hit = jnp.any(lane_hit)
+            any_hit = jnp.any(lane_hit) & active
             is_leaf = meta >= 0
 
             def do_leaf(args):
@@ -224,7 +226,18 @@ def _traverse_kernel(leaf_k: int, root: int, max_steps: int):
                 (t_best, nx, ny, nz, uu, vv, tri))
 
             nxt = jnp.where(any_hit & ~is_leaf, cur + 1, skip)
-            return nxt, step + 1, t_best, nx, ny, nz, uu, vv, tri
+            nxt = jnp.where(active, nxt, cur)
+            return nxt, t_best, nx, ny, nz, uu, vv, tri
+
+        def body(state):
+            cur, step, t_best, nx, ny, nz, uu, vv, tri = state
+            # two nodes per loop iteration: halves the serial while-loop
+            # overhead (the second visit is masked if the walk finished)
+            cur, t_best, nx, ny, nz, uu, vv, tri = one_node(
+                cur, cur >= 0, t_best, nx, ny, nz, uu, vv, tri)
+            cur, t_best, nx, ny, nz, uu, vv, tri = one_node(
+                cur, cur >= 0, t_best, nx, ny, nz, uu, vv, tri)
+            return cur, step + 2, t_best, nx, ny, nz, uu, vv, tri
 
         out = jax.lax.while_loop(cond, body, init)
         _, _, t_best, nx, ny, nz, uu, vv, tri = out
