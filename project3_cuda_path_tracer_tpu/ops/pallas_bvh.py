@@ -231,13 +231,11 @@ def _traverse_kernel(leaf_k: int, root: int, max_steps: int):
 
         def body(state):
             cur, step, t_best, nx, ny, nz, uu, vv, tri = state
-            # two nodes per loop iteration: halves the serial while-loop
-            # overhead (the second visit is masked if the walk finished)
+            # (a 2-nodes-per-iteration unroll was measured neutral: the cost
+            # is vector work x union size, not loop overhead)
             cur, t_best, nx, ny, nz, uu, vv, tri = one_node(
                 cur, cur >= 0, t_best, nx, ny, nz, uu, vv, tri)
-            cur, t_best, nx, ny, nz, uu, vv, tri = one_node(
-                cur, cur >= 0, t_best, nx, ny, nz, uu, vv, tri)
-            return cur, step + 2, t_best, nx, ny, nz, uu, vv, tri
+            return cur, step + 1, t_best, nx, ny, nz, uu, vv, tri
 
         out = jax.lax.while_loop(cond, body, init)
         _, _, t_best, nx, ny, nz, uu, vv, tri = out
