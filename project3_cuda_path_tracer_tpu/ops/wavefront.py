@@ -231,7 +231,8 @@ def _mesh_hit_packet(o: V3, d: V3, times, geoms: T.Geoms, packed,
                      g: int, meshes: T.MeshBundle = None,
                      differentiable: bool = False,
                      tri_offset: int = 0,
-                     t_world_bound=None) -> HitP:
+                     t_world_bound=None,
+                     reorder: bool = False) -> HitP:
     """MESH geom via the Pallas packet traversal (ops/pallas_bvh).
 
     The traversal kernel has no VJP; the winning TRIANGLE index is treated
@@ -254,8 +255,10 @@ def _mesh_hit_packet(o: V3, d: V3, times, geoms: T.Geoms, packed,
     qd = vec.normalize(vec.xform_dir(inv, d))
 
     from . import pallas_bvh as PB
+    from . import compact as compaction
     sg = jax.lax.stop_gradient
-    t_bound = None
+    n = qo.x.shape[0]
+    t_bound = jnp.full((n,), PB.BIG, jnp.float32)
     if t_world_bound is not None:
         # occlusion bound in object units: world distance along the ray is
         # t_obj * |M_linear qd| (exact for affine transforms); small slack
@@ -263,9 +266,55 @@ def _mesh_hit_packet(o: V3, d: V3, times, geoms: T.Geoms, packed,
         md = vec.xform_dir(fwd, qd)
         t_bound = sg(t_world_bound / jnp.maximum(vec.norm(md), 1e-12)
                      * 1.0005 + 1e-3)
-    t_obj, (nlx, nly, nlz), u, v, tri = PB.traverse_packets(
-        (sg(qo.x), sg(qo.y), sg(qo.z)), (sg(qd.x), sg(qd.y), sg(qd.z)),
-        packed, t_bound=t_bound)
+
+    qox, qoy, qoz = sg(qo.x), sg(qo.y), sg(qo.z)
+    qdx, qdy, qdz = sg(qd.x), sg(qd.y), sg(qd.z)
+
+    if reorder:
+        # Candidate compaction + octant bucketing. MEASURED NET NEGATIVE on
+        # v5e (2.9s vs 1.1s/iter on the blob config): the counting sort's
+        # 9 cumsums + 7 plane gathers + unscramble cost more than the
+        # union shrinkage saves — XLA TPU gathers/scans are that slow.
+        # Kept as an experiment knob, default off.
+        root_lo = packed.nodes_f[0, 0:3]
+        root_hi = packed.nodes_f[0, 3:6]
+        ix = 1.0 / qdx
+        iy = 1.0 / qdy
+        iz = 1.0 / qdz
+        t1x = (root_lo[0] - qox) * ix
+        t2x = (root_hi[0] - qox) * ix
+        t1y = (root_lo[1] - qoy) * iy
+        t2y = (root_hi[1] - qoy) * iy
+        t1z = (root_lo[2] - qoz) * iz
+        t2z = (root_hi[2] - qoz) * iz
+        tmin = jnp.maximum(jnp.minimum(t1x, t2x),
+                           jnp.maximum(jnp.minimum(t1y, t2y),
+                                       jnp.minimum(t1z, t2z)))
+        tmax = jnp.minimum(jnp.maximum(t1x, t2x),
+                           jnp.minimum(jnp.maximum(t1y, t2y),
+                                       jnp.maximum(t1z, t2z)))
+        cand = (tmax >= tmin) & (tmax > 0) & (tmin < t_bound)
+        octant = ((qdx < 0).astype(jnp.int32) * 4
+                  + (qdy < 0).astype(jnp.int32) * 2
+                  + (qdz < 0).astype(jnp.int32))
+        bucket = jnp.where(cand, octant, jnp.int32(8))
+        perm = compaction.bucket_sort_permutation(bucket, 9)
+        take = lambda a: jnp.take(a, perm, axis=0)
+        t_obj_p, (nlx_p, nly_p, nlz_p), u_p, v_p, tri_p = \
+            PB.traverse_packets(
+                (take(qox), take(qoy), take(qoz)),
+                (take(qdx), take(qdy), take(qdz)),
+                packed, t_bound=take(t_bound))
+        inv = jnp.zeros((n,), jnp.int32).at[perm].set(
+            jnp.arange(n, dtype=jnp.int32))
+        unscramble = lambda a: jnp.take(a, inv, axis=0)
+        t_obj = unscramble(t_obj_p)
+        nlx, nly, nlz = (unscramble(nlx_p), unscramble(nly_p),
+                         unscramble(nlz_p))
+        u, v, tri = unscramble(u_p), unscramble(v_p), unscramble(tri_p)
+    else:
+        t_obj, (nlx, nly, nlz), u, v, tri = PB.traverse_packets(
+            (qox, qoy, qoz), (qdx, qdy, qdz), packed, t_bound=t_bound)
     hit = tri >= 0
 
     if differentiable:
