@@ -34,12 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import camera as cam_ops
-from ..ops import intersect as isect
-from ..ops import bsdf
 from ..ops import compact as compaction
 from ..ops import wavefront as wf
-from ..ops import vec
 from ..ops.vec import V3
 from ..scene import types as T
 from ..utils import image as img_io
