@@ -124,6 +124,8 @@ class ShardedRenderer:
             geom_types=tuple(int(t) for t in types),
             mesh_ids=tuple(int(m) for m in np.asarray(scene.geoms.mesh_id)),
             unroll=bool(len(mesh_idx) and scene.packed_meshes),
+            tile=(32 if (len(mesh_idx) and scene.packed_meshes
+                         and w % 32 == 0 and h % 32 == 0) else 0),
             glossy=bool(np.any(np.asarray(
                 scene.materials.specular_exponent) > 0)),
             sky=bool(float(np.asarray(scene.textures.sky)[0]) > 0),

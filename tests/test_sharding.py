@@ -62,3 +62,22 @@ def test_submesh(cornell_32):
     img = r.image()
     assert np.isfinite(img).all()
     assert img.max() > 0
+
+
+def test_sharded_mesh_scene_matches_single():
+    """Mesh scenes (Pallas packet traversal inside a GSPMD-sharded jit,
+    tile-swizzled paths) must produce the identical image sharded vs not."""
+    s = load_scene("scenes/mesh.txt")
+    s.camera.resolution = (64, 64)
+    s.camera.derive()
+    s.settings.trace_depth = 3
+    sh = ShardedRenderer(s)
+    sh.render(2, seed=1)
+
+    s2 = load_scene("scenes/mesh.txt")
+    s2.camera.resolution = (64, 64)
+    s2.camera.derive()
+    s2.settings.trace_depth = 3
+    single = Renderer(s2)
+    single.render(2, seed=1)
+    np.testing.assert_allclose(sh.image(), single.image(), atol=1e-5)
