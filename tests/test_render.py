@@ -118,3 +118,25 @@ def test_mirror_reflects(cornell_small):
     # sphere center in image ~ (y=18..24, x=17..21) after mirror; just check
     # the image has nonzero energy in the sphere region
     assert img[18:24, 16:22].mean() > 0.02
+
+
+def test_scene_with_no_objects_renders_black(tmp_path):
+    """Geometry-free scene: every ray misses -> black image (background,
+    reference src/sceneStructs.h:8), no crashes on the empty geom loop."""
+    f = tmp_path / "empty.txt"
+    f.write_text("""MATERIAL 0
+RGB 1 1 1
+
+CAMERA
+RES 8 8
+FOVY 45
+ITERATIONS 2
+DEPTH 2
+FILE empty
+EYE 0 0 5
+LOOKAT 0 0 0
+UP 0 1 0
+""")
+    s = load_scene(str(f))
+    img = render(s, 2)
+    np.testing.assert_array_equal(img, 0.0)
