@@ -107,11 +107,18 @@ def generate_rays_planar(cam: dict, width: int, height: int, key: jax.Array,
 # ---------------------------------------------------------------------------
 
 class HitP(NamedTuple):
-    """Planar ShadeableIntersection + shading inputs."""
+    """Planar ShadeableIntersection + shading inputs.
+
+    `point` is the 1e-4 backed-off hit point (getPointOnRay semantics,
+    reference src/intersections.h:27-29) used for reflected/diffuse
+    continuation; `surf` is the EXACT surface point, which transmission
+    pushes through (a fixed world-space push from the backed-off point
+    cannot reliably cross the surface for strongly scaled geoms)."""
     t: jnp.ndarray       # [N]; -1 = miss (after finalize)
     normal: V3
     mat_id: jnp.ndarray  # [N] int32
     point: V3            # backed-off world hit point
+    surf: V3             # exact world surface point
     u: jnp.ndarray       # [N] texture u
     v: jnp.ndarray       # [N] texture v
     outside: jnp.ndarray  # [N] bool
@@ -187,9 +194,14 @@ def _primitive_hit_planar(o: V3, d: V3, times, geoms: T.Geoms, g: int,
 
     tb = t_obj - RAY_EPS
     ip_obj = V3(qo.x + tb * qd.x, qo.y + tb * qd.y, qo.z + tb * qd.z)
+    sf_obj = V3(qo.x + t_obj * qd.x, qo.y + t_obj * qd.y,
+                qo.z + t_obj * qd.z)
     ip_world = vec.xform_pt(fwd, ip_obj)
     ip_world = V3(ip_world.x + velx * times, ip_world.y + vely * times,
                   ip_world.z + velz * times)
+    sf_world = vec.xform_pt(fwd, sf_obj)
+    sf_world = V3(sf_world.x + velx * times, sf_world.y + vely * times,
+                  sf_world.z + velz * times)
     t_world = vec.norm(o - ip_world)
 
     if gtype == T.CUBE:
@@ -204,7 +216,7 @@ def _primitive_hit_planar(o: V3, d: V3, times, geoms: T.Geoms, g: int,
     normal = vec.normalize(vec.xform_dir(inv_tr, n_local))
     return HitP(t=jnp.where(hit, t_world, BIG), normal=normal,
                 mat_id=jnp.broadcast_to(geoms.material_id[g], t_world.shape),
-                point=ip_world, u=u, v=v, outside=outside)
+                point=ip_world, surf=sf_world, u=u, v=v, outside=outside)
 
 
 def _mesh_hit_planar(o: V3, d: V3, times, geoms: T.Geoms,
@@ -222,8 +234,11 @@ def _mesh_hit_planar(o: V3, d: V3, times, geoms: T.Geoms,
                             sg(times), jax.tree_util.tree_map(sg, geoms),
                             meshes, g)
     h = jax.tree_util.tree_map(sg, h)
+    pt = vec.from_rows(h.point)
+    # exact surface point = origin + t*d (t is the world distance)
+    sf = V3(o.x + h.t * d.x, o.y + h.t * d.y, o.z + h.t * d.z)
     return HitP(t=h.t, normal=vec.from_rows(h.normal), mat_id=h.mat_id,
-                point=vec.from_rows(h.point), u=h.uv[:, 0], v=h.uv[:, 1],
+                point=pt, surf=sf, u=h.uv[:, 0], v=h.uv[:, 1],
                 outside=h.outside)
 
 
@@ -347,9 +362,14 @@ def _mesh_hit_packet(o: V3, d: V3, times, geoms: T.Geoms, packed,
 
     tb = t_obj - RAY_EPS
     ip_obj = V3(qo.x + tb * qd.x, qo.y + tb * qd.y, qo.z + tb * qd.z)
+    sf_obj = V3(qo.x + t_obj * qd.x, qo.y + t_obj * qd.y,
+                qo.z + t_obj * qd.z)
     ip_world = vec.xform_pt(fwd, ip_obj)
     ip_world = V3(ip_world.x + velx * times, ip_world.y + vely * times,
                   ip_world.z + velz * times)
+    sf_world = vec.xform_pt(fwd, sf_obj)
+    sf_world = V3(sf_world.x + velx * times, sf_world.y + vely * times,
+                  sf_world.z + velz * times)
     t_world = jnp.where(hit, vec.norm(o - ip_world), BIG)
 
     normal = vec.normalize(vec.xform_dir(inv_tr, V3(nlx, nly, nlz)))
@@ -360,7 +380,7 @@ def _mesh_hit_packet(o: V3, d: V3, times, geoms: T.Geoms, packed,
     return HitP(t=t_world, normal=normal,
                 mat_id=jnp.broadcast_to(geoms.material_id[g],
                                         t_world.shape),
-                point=ip_world, u=u, v=v, outside=facing)
+                point=ip_world, surf=sf_world, u=u, v=v, outside=facing)
 
 
 def intersect_planar(o: V3, d: V3, times, geoms: T.Geoms,
@@ -379,6 +399,7 @@ def intersect_planar(o: V3, d: V3, times, geoms: T.Geoms,
                 normal=V3(*(jnp.zeros((n,), jnp.float32),) * 3),
                 mat_id=jnp.zeros((n,), jnp.int32),
                 point=V3(*(jnp.zeros((n,), jnp.float32),) * 3),
+                surf=V3(*(jnp.zeros((n,), jnp.float32),) * 3),
                 u=jnp.zeros((n,), jnp.float32),
                 v=jnp.zeros((n,), jnp.float32),
                 outside=jnp.ones((n,), bool))
@@ -389,6 +410,7 @@ def intersect_planar(o: V3, d: V3, times, geoms: T.Geoms,
             normal=vec.where(closer, cand.normal, best.normal),
             mat_id=jnp.where(closer, cand.mat_id, best.mat_id),
             point=vec.where(closer, cand.point, best.point),
+            surf=vec.where(closer, cand.surf, best.surf),
             u=jnp.where(closer, cand.u, best.u),
             v=jnp.where(closer, cand.v, best.v),
             outside=jnp.where(closer, cand.outside, best.outside))
@@ -653,10 +675,16 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
     scattering = alive & hit_ok & ~is_light
     new_throughput = vec.where(scattering, throughput * factor, throughput)
 
-    push = jnp.where(take_refr & ~refl_instead, 2.0 * RAY_EPS, 0.0)
-    new_origin = V3(hit.point.x + push * new_dir.x,
-                    hit.point.y + push * new_dir.y,
-                    hit.point.z + push * new_dir.z)
+    # transmitted rays start just past the EXACT surface point; reflected/
+    # diffuse rays keep the backed-off point (safe side of the surface)
+    transmit = take_refr & ~refl_instead
+    base_x = jnp.where(transmit, hit.surf.x, hit.point.x)
+    base_y = jnp.where(transmit, hit.surf.y, hit.point.y)
+    base_z = jnp.where(transmit, hit.surf.z, hit.point.z)
+    push = jnp.where(transmit, 2.0 * RAY_EPS, 0.0)
+    new_origin = V3(base_x + push * new_dir.x,
+                    base_y + push * new_dir.y,
+                    base_z + push * new_dir.z)
 
     still_alive = scattering & ~last_bounce
     return ShadeOutP(origin=new_origin, direction=new_dir,

@@ -118,7 +118,8 @@ def test_glossy_phong_lobe():
         zeros = jnp.zeros((n,))
         hit = wf.HitP(t=ones * 5.0, normal=V3(zeros, ones, zeros),
                       mat_id=jnp.zeros((n,), jnp.int32),
-                      point=V3(zeros, zeros, zeros), u=zeros, v=zeros,
+                      point=V3(zeros, zeros, zeros),
+                      surf=V3(zeros, zeros, zeros), u=zeros, v=zeros,
                       outside=jnp.ones((n,), bool))
         d_in = vec.normalize(V3(ones * 0.5, -ones, zeros))
         u = jax.random.uniform(jax.random.PRNGKey(0), (4, n))
@@ -135,3 +136,58 @@ def test_glossy_phong_lobe():
     assert s_exact < 1e-6
     assert s_tight < s_wide
     assert s_wide > 1e-3
+
+
+def test_glass_sphere_center_ray_goes_straight():
+    """A ray aimed at a glass sphere's center hits both interfaces at
+    normal incidence: transmission leaves the direction unchanged (Snell
+    at cos_i = 1), so after two refractions the ray continues straight."""
+    import dataclasses
+    from project3_cuda_path_tracer_tpu.ops import wavefront as wf, vec
+    from project3_cuda_path_tracer_tpu.ops.vec import V3
+    from project3_cuda_path_tracer_tpu.scene import types as T
+    from project3_cuda_path_tracer_tpu.utils import math as m
+
+    tr = m.build_transformation_matrix((0, 0, 0), (0, 0, 0), (2, 2, 2))
+    geoms = T.Geoms(
+        type=jnp.array([T.SPHERE], jnp.int32),
+        material_id=jnp.array([0], jnp.int32),
+        transform=jnp.asarray(tr)[None],
+        inverse_transform=jnp.asarray(m.inverse(tr))[None],
+        inverse_transpose=jnp.asarray(m.inverse_transpose(tr))[None],
+        velocity=jnp.zeros((1, 3)), mesh_id=-jnp.ones((1,), jnp.int32))
+    mats = dataclasses.replace(
+        T.Materials.zeros(1),
+        specular_color=jnp.ones((1, 3)),
+        has_refractive=jnp.ones((1,)),
+        ior=jnp.full((1,), 1.5))
+    tx = T.Textures.none(1)
+
+    n = 8
+    o = vec.from_rows(jnp.tile(jnp.array([[0.3, 0.2, 5.0]]), (n, 1)))
+    # aim exactly at the center so incidence is normal at both interfaces
+    d = vec.normalize(vec.from_rows(
+        jnp.tile(jnp.array([[-0.3, -0.2, -5.0]]), (n, 1))))
+    d0 = np.asarray(vec.to_rows(d))[0]
+    times = jnp.zeros((n,))
+    thr = V3(jnp.ones(n), jnp.ones(n), jnp.ones(n))
+    alive = jnp.ones(n, bool)
+    # u_fres = 0.999 > Schlick(1.0) = 0.04 -> transmit at both interfaces
+    u = jnp.stack([jnp.zeros(n), jnp.full((n,), 0.5),
+                   jnp.full((n,), 0.5), jnp.full((n,), 0.999)])
+
+    for bounce in range(2):
+        hit = wf.intersect_planar(o, d, times, geoms, T.MeshBundle.empty(),
+                                  (T.SPHERE,))
+        assert (np.asarray(hit.t) > 0).all(), f"missed at bounce {bounce}"
+        out = wf.shade_planar(hit, d, thr, alive, mats, tx, u,
+                              jnp.zeros(n, bool))
+        o, d, thr, alive = out.origin, out.direction, out.throughput, \
+            out.alive
+        np.testing.assert_allclose(np.asarray(vec.to_rows(d))[0], d0,
+                                   atol=1e-4)
+
+    # after exiting, the ray must miss the sphere (it's behind)
+    hit = wf.intersect_planar(o, d, times, geoms, T.MeshBundle.empty(),
+                              (T.SPHERE,))
+    assert (np.asarray(hit.t) < 0).all()
