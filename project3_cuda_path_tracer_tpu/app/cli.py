@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="material-key sort paths before shading")
     p.add_argument("--compact", action="store_true",
                    help="compact terminated paths each bounce")
+    p.add_argument("--russian-roulette", action="store_true",
+                   help="unbiased stochastic termination from bounce 3")
     p.add_argument("--sharded", action="store_true",
                    help="shard pixels across all visible devices")
     p.add_argument("--megakernel", action="store_true",
@@ -87,6 +89,7 @@ def main(argv=None) -> int:
     st.antialias = not args.no_antialias
     st.sort_materials = args.sort
     st.compact = args.compact
+    st.russian_roulette = args.russian_roulette
     st.seed = args.seed
 
     base = os.path.join(args.outdir, args.out or st.image_name)

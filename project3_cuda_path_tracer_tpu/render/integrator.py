@@ -100,6 +100,10 @@ class TraceConfig:
     # faster fwd+bwd measured (61 -> 201 M segs/s on cornell). Free for
     # forward-only rendering.
     remat: bool = True
+    # Russian-roulette termination from bounce 3 on (unbiased: survivors'
+    # throughput is divided by the survival probability). An extension over
+    # the reference's fixed-depth loop; off by default for exact parity.
+    russian_roulette: bool = False
 
 
 def trace_wavefront(
@@ -182,10 +186,23 @@ def trace_wavefront(
                           radiance.z.at[pix].add(out.radiance.z))
         else:
             radiance = radiance + out.radiance
+
+        thr = out.throughput
+        alive2 = out.alive
+        if cfg.russian_roulette:
+            u_rr = jax.random.uniform(jax.random.fold_in(k_d, 7), (n,))
+            q = jnp.clip(jnp.maximum(thr.x, jnp.maximum(thr.y, thr.z)),
+                         0.05, 0.95)
+            rr_on = depth >= 2
+            survive = (~rr_on) | (u_rr < q)
+            boost = jnp.where(rr_on & survive & alive2, 1.0 / q, 1.0)
+            thr = V3(thr.x * boost, thr.y * boost, thr.z * boost)
+            alive2 = alive2 & survive
+
         state = PathState(origin=out.origin, direction=out.direction,
-                          throughput=out.throughput,
+                          throughput=thr,
                           pixel_index=state.pixel_index,
-                          alive=out.alive, time=state.time)
+                          alive=alive2, time=state.time)
         return state, radiance
 
     depths = jnp.arange(cfg.trace_depth, dtype=jnp.int32)
@@ -295,6 +312,7 @@ class Renderer:
             glossy=bool(np.any(np.asarray(
                 scene.materials.specular_exponent) > 0)),
             sky=bool(float(np.asarray(scene.textures.sky)[0]) > 0),
+            russian_roulette=self.settings.russian_roulette,
         )
         self.base_key = jax.random.key(self.settings.seed, impl=self.settings.rng)
         self.reset()

@@ -231,6 +231,7 @@ class RenderSettings:
     sort_materials: bool = False
     compact: bool = False
     first_bounce_cache: bool = False
+    russian_roulette: bool = False
     use_pallas: bool = True
     seed: int = 0
     # PRNG implementation: 'rbg' (XLA RngBitGenerator — much faster on TPU,

@@ -140,3 +140,12 @@ UP 0 1 0
     s = load_scene(str(f))
     img = render(s, 2)
     np.testing.assert_array_equal(img, 0.0)
+
+
+def test_russian_roulette_unbiased(cornell_small):
+    """RR termination changes variance, not the expectation: means agree
+    statistically while per-pixel results differ (paths really die)."""
+    base = render(cornell_small, 96, russian_roulette=False)
+    rr = render(cornell_small, 96, russian_roulette=True)
+    assert abs(base.mean() - rr.mean()) < 0.02
+    assert not np.allclose(base, rr)
