@@ -1,0 +1,442 @@
+"""8-wide BVH packet traversal — the "fewer, fatter steps" mesh intersector.
+
+Motivation (measured, see BENCHMARKS.md + ops/pallas_bvh.py post-mortems):
+the binary packet kernel's per-step cost is dominated by SCALAR work (the
+shared cursor chain, node row loads, the any-lane reduction), while its
+per-step VECTOR work (one AABB slab test over 1024 lanes) is cheap. The
+8-cursor sub-packet experiment multiplied the scalar work 8x and lost 25x.
+This kernel goes the other way: ONE shared cursor and stack, but each step
+loads one wide node row and slab-tests EIGHT child boxes across all 1024
+lanes — 8x the vector work per step, the same scalar overhead, and ~7x
+fewer interior nodes to visit (an 8-ary tree has ~N/7 interior nodes vs
+~N binary). Incoherent-packet unions shrink by the same factor because the
+union is over tree PATHS, which are log8 deep instead of log2.
+
+Measured on v5e (blob 81920 tris, 1024x1024 depth 8, vs the binary kernel's
+1.13 s/iter):
+  * naive version with one jnp.any vector->scalar reduction PER CHILD:
+    0.69x (SLOWER) — the 8 cross-lane reductions per step dominate;
+  * + fat leaves (WIDE_LEAF_K=15 subtree merge): 0.71x — leaf pops were
+    not the bottleneck;
+  * + bit-packed reductions (all 8 child masks summed through 4 int32
+    accumulators -> 4 scalar reductions per step): 0.78 s/iter = 1.45x
+    FASTER, images bit-identical.
+The lesson for every packet kernel on this hardware: vector->scalar
+reductions are the scarcest resource in a Mosaic while_loop — batch them.
+
+Fills the same reference TODO as ops/pallas_bvh.py (mesh + acceleration
+structure, reference: src/pathtrace.cu:188,308-309); produced images are
+identical to the binary path (same nearest-hit semantics over the same
+triangle table).
+
+Layout (host-collapsed from the binned-SAH binary tree of scene/bvh.py):
+  nodes_f [B8, 64] f32 — child c occupies cols [6c, 6c+6) = lo.xyz, hi.xyz;
+                          empty slots hold an inverted box (+BIG, -BIG);
+  nodes_i [B8, 16] i32 — col c: interior child's node row (-1 if not
+                          interior); col 8+c: leaf meta = start*16+count
+                          (-1 if not a leaf). A slot with both -1 is empty.
+  tris    [T+1, 24] f32 — identical row format to ops/pallas_bvh.py.
+
+Traversal: a scalar stack in SMEM holds encoded entries — v >= 0 is an
+interior node row, v <= -2 is a leaf with meta = -v-2. Pop; if leaf, run
+the LEAF_K Moller-Trumbore phase (vectorized over the packet, normals/uv
+interpolated in-kernel); if interior, slab-test the 8 children and push
+every child any lane entered. Per-ray t_best (seeded from the occlusion
+bound) prunes subtrees on both the box test and the push.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene import types as T
+from .pallas_bvh import SUB, LANES, PACKET, BIG, TRI_ROW
+
+WIDTH = 8          # children per node
+STACK = 128        # SMEM stack entries (512 bytes); builder asserts it fits
+# Fat leaves: a whole binary SUBTREE whose triangles (contiguous in the
+# DFS perm order) number <= WIDE_LEAF_K becomes ONE leaf child. Leaf pops
+# dominate the step count once interiors are 8-wide; doubling the tris per
+# pop halves the scalar-bound pop count for ~2x more (cheap) vector work.
+WIDE_LEAF_K = 15   # meta = start*16 + count caps count at 15
+
+
+class PackedMesh8(NamedTuple):
+    """One mesh in the 8-wide VMEM layout (root node = row 0)."""
+    nodes_f: jnp.ndarray   # [B8, 64] f32
+    nodes_i: jnp.ndarray   # [B8, 16] i32
+    tris: jnp.ndarray      # [T+1, TRI_ROW] f32
+
+    @property
+    def vmem_bytes(self) -> int:
+        return 4 * (self.nodes_f.size + self.nodes_i.size + self.tris.size)
+
+
+def _local_binary(meshes: T.MeshBundle, mesh_index: int):
+    """Rebase one mesh's binary BVH out of the concatenated bundle:
+    node indices local (root 0), tri starts local."""
+    roots = np.asarray(meshes.mesh_root, np.int64)
+    tri_offs = np.asarray(meshes.mesh_tri_offset, np.int64)
+    b_total = np.asarray(meshes.node_lo).shape[0]
+    t_total = np.asarray(meshes.tri_v0).shape[0]
+    n0 = int(roots[mesh_index])
+    n1 = int(roots[mesh_index + 1]) if mesh_index + 1 < len(roots) else b_total
+    t0 = int(tri_offs[mesh_index])
+    t1 = (int(tri_offs[mesh_index + 1]) if mesh_index + 1 < len(tri_offs)
+          else t_total)
+    lo = np.asarray(meshes.node_lo, np.float32)[n0:n1]
+    hi = np.asarray(meshes.node_hi, np.float32)[n0:n1]
+    start = np.asarray(meshes.node_start, np.int64)[n0:n1]
+    count = np.asarray(meshes.node_count, np.int64)[n0:n1]
+    right = np.asarray(meshes.node_right, np.int64)[n0:n1]
+    start = np.where(count > 0, start - t0, -1)
+    right = np.where(right >= 0, right - n0, -1)
+    return lo, hi, start, count, right, t0, t1
+
+
+def _pack_tris(meshes: T.MeshBundle, t0: int, t1: int) -> np.ndarray:
+    t = t1 - t0
+    sl = slice(t0, t1)
+    tris = np.zeros((t + 1, TRI_ROW), np.float32)  # +1 degenerate pad row
+    tris[:t, 0:3] = np.asarray(meshes.tri_v0, np.float32)[sl]
+    tris[:t, 3:6] = np.asarray(meshes.tri_e1, np.float32)[sl]
+    tris[:t, 6:9] = np.asarray(meshes.tri_e2, np.float32)[sl]
+    tris[:t, 9:12] = np.asarray(meshes.tri_n0, np.float32)[sl]
+    tris[:t, 12:15] = np.asarray(meshes.tri_n1, np.float32)[sl]
+    tris[:t, 15:18] = np.asarray(meshes.tri_n2, np.float32)[sl]
+    tris[:t, 18:20] = np.asarray(meshes.tri_uv0, np.float32)[sl]
+    tris[:t, 20:22] = np.asarray(meshes.tri_uv1, np.float32)[sl]
+    tris[:t, 22:24] = np.asarray(meshes.tri_uv2, np.float32)[sl]
+    return tris
+
+
+def pack_mesh8(meshes: T.MeshBundle, mesh_index: int = 0) -> PackedMesh8:
+    """Collapse one mesh's binary BVH into the 8-wide layout.
+
+    Collapse rule: start from a binary interior node's two children and
+    repeatedly replace the interior child with the LARGEST surface area by
+    its two children until 8 slots are used (the classic BVH8 grow-widest
+    heuristic — the biggest boxes are the ones most worth testing early
+    and in parallel).
+    """
+    lo, hi, start, count, right, t0, t1 = _local_binary(meshes, mesh_index)
+    b_n = lo.shape[0]
+
+    # Subtree tri ranges (contiguous because flattening is DFS with
+    # leaf-contiguous perm, scene/bvh.py): reverse-index post-order pass.
+    r0 = np.full(b_n, -1, np.int64)
+    r1 = np.full(b_n, -1, np.int64)
+    for b in range(b_n - 1, -1, -1):
+        if count[b] > 0:
+            r0[b], r1[b] = start[b], start[b] + count[b]
+        else:
+            l, r = b + 1, int(right[b])
+            r0[b] = min(r0[l], r0[r])
+            r1[b] = max(r1[l], r1[r])
+
+    def is_fat_leaf(k: int) -> bool:
+        return count[k] > 0 or (r1[k] - r0[k]) <= WIDE_LEAF_K
+
+    def leaf_meta(k: int) -> int:
+        s, c = (int(start[k]), int(count[k])) if count[k] > 0 else (
+            int(r0[k]), int(r1[k] - r0[k]))
+        assert 0 < c <= WIDE_LEAF_K
+        return s * 16 + c
+
+    nodes_f_rows: list = []
+    nodes_i_rows: list = []
+
+    def kids_of(b: int):
+        kids = [b + 1, int(right[b])]
+        while len(kids) < WIDTH:
+            best_i, best_sa = -1, -1.0
+            for i, k in enumerate(kids):
+                if not is_fat_leaf(k):
+                    d = np.maximum(hi[k] - lo[k], 0.0)
+                    sa = float(d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+                    if sa > best_sa:
+                        best_sa, best_i = sa, i
+            if best_i < 0:
+                break
+            k = kids.pop(best_i)
+            kids.append(k + 1)
+            kids.append(int(right[k]))
+        return kids
+
+    max_depth = 0
+
+    def build(b: int, depth: int) -> int:
+        nonlocal max_depth
+        max_depth = max(max_depth, depth)
+        my = len(nodes_f_rows)
+        f = np.zeros(64, np.float32)
+        ii = np.full(16, -1, np.int32)
+        nodes_f_rows.append(f)
+        nodes_i_rows.append(ii)
+        kids = kids_of(b)
+        for c, k in enumerate(kids):
+            f[6 * c: 6 * c + 3] = lo[k]
+            f[6 * c + 3: 6 * c + 6] = hi[k]
+            if is_fat_leaf(k):
+                ii[8 + c] = leaf_meta(k)
+        for c in range(len(kids), WIDTH):
+            f[6 * c: 6 * c + 3] = BIG
+            f[6 * c + 3: 6 * c + 6] = -BIG
+        for c, k in enumerate(kids):
+            if not is_fat_leaf(k):
+                ii[c] = build(k, depth + 1)
+        return my
+
+    if count[0] > 0:
+        # whole mesh is a single binary leaf: one 8-wide node, one leaf slot
+        f = np.zeros(64, np.float32)
+        ii = np.full(16, -1, np.int32)
+        f[0:3], f[3:6] = lo[0], hi[0]
+        for c in range(1, WIDTH):
+            f[6 * c: 6 * c + 3] = BIG
+            f[6 * c + 3: 6 * c + 6] = -BIG
+        ii[8] = int(start[0]) * 16 + int(count[0])
+        nodes_f_rows.append(f)
+        nodes_i_rows.append(ii)
+        max_depth = 1
+    else:
+        import sys
+        old = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(old, 10000))
+        try:
+            build(0, 1)
+        finally:
+            sys.setrecursionlimit(old)
+
+    # Worst-case stack: each level on the DFS path parks <= WIDTH-1 residual
+    # siblings, plus the current node's <= WIDTH pushes.
+    bound = (WIDTH - 1) * max_depth + WIDTH
+    assert bound <= STACK, (
+        f"BVH8 worst-case stack {bound} exceeds kernel STACK={STACK} "
+        f"(tree depth {max_depth}); raise STACK in ops/bvh8.py")
+
+    return PackedMesh8(
+        nodes_f=jnp.asarray(np.stack(nodes_f_rows)),
+        nodes_i=jnp.asarray(np.stack(nodes_i_rows)),
+        tris=jnp.asarray(_pack_tris(meshes, t0, t1)))
+
+
+def pack_all8(meshes: T.MeshBundle):
+    """One PackedMesh8 per mesh in the bundle (empty tuple for no meshes)."""
+    k = int(np.asarray(meshes.mesh_root).shape[0])
+    if int(np.asarray(meshes.tri_v0).shape[0]) <= 1:
+        return ()
+    return tuple(pack_mesh8(meshes, i) for i in range(k))
+
+
+def enable_wide_bvh(scene) -> None:
+    """Switch a loaded Scene's mesh traversal to the 8-wide kernel in place
+    (the integrator dispatches on the packed type)."""
+    scene.packed_meshes = pack_all8(scene.meshes)
+
+
+def _traverse8_kernel(leaf_k: int, max_steps: int):
+    """Kernel body: stack-based 8-wide traversal, one packet per grid step."""
+
+    def kernel(qox_ref, qoy_ref, qoz_ref, qdx_ref, qdy_ref, qdz_ref,
+               tmax_ref, nodes_f_ref, nodes_i_ref, tris_ref,
+               t_ref, nx_ref, ny_ref, nz_ref, u_ref, v_ref, tri_ref,
+               stack_ref):
+        qox, qoy, qoz = qox_ref[:], qoy_ref[:], qoz_ref[:]
+        qdx, qdy, qdz = qdx_ref[:], qdy_ref[:], qdz_ref[:]
+        idx = 1.0 / qdx
+        idy = 1.0 / qdy
+        idz = 1.0 / qdz
+
+        shape = (SUB, LANES)
+        zero = jnp.zeros(shape, jnp.float32)
+        stack_ref[0] = jnp.int32(0)   # root node row
+        init = (jnp.int32(1), jnp.int32(0),
+                tmax_ref[:],
+                zero, zero, zero, zero, zero,
+                jnp.full(shape, -1, jnp.int32))
+
+        def cond(state):
+            sp, step = state[0], state[1]
+            return (sp > 0) & (step < max_steps)
+
+        def body(state):
+            sp, step, t_best, nx, ny, nz, uu, vv, tri = state
+            sp1 = sp - 1
+            entry = stack_ref[sp1]
+            is_int = entry >= 0
+            meta = -entry - 2          # valid when entry <= -2 (leaf)
+
+            def do_leaf(args):
+                t_best, nx, ny, nz, uu, vv, tri = args
+                start = meta // 16
+                count = meta - start * 16
+                for k in range(leaf_k):
+                    r = tris_ref[start + k]
+                    in_leaf = k < count
+                    v0x, v0y, v0z = r[0], r[1], r[2]
+                    e1x, e1y, e1z = r[3], r[4], r[5]
+                    e2x, e2y, e2z = r[6], r[7], r[8]
+                    pvx = qdy * e2z - qdz * e2y
+                    pvy = qdz * e2x - qdx * e2z
+                    pvz = qdx * e2y - qdy * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    ok_det = jnp.abs(det) > 1e-12
+                    inv_det = jnp.where(ok_det, 1.0 / det, 0.0)
+                    tvx = qox - v0x
+                    tvy = qoy - v0y
+                    tvz = qoz - v0z
+                    bu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    bv = (qdx * qvx + qdy * qvy + qdz * qvz) * inv_det
+                    t_k = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                    hit_k = (ok_det & (bu >= 0) & (bv >= 0)
+                             & (bu + bv <= 1) & (t_k > 1e-6)
+                             & (t_k < t_best) & in_leaf)
+                    bw = 1.0 - bu - bv
+                    nkx = bw * r[9] + bu * r[12] + bv * r[15]
+                    nky = bw * r[10] + bu * r[13] + bv * r[16]
+                    nkz = bw * r[11] + bu * r[14] + bv * r[17]
+                    uk = bw * r[18] + bu * r[20] + bv * r[22]
+                    vk = bw * r[19] + bu * r[21] + bv * r[23]
+                    t_best = jnp.where(hit_k, t_k, t_best)
+                    nx = jnp.where(hit_k, nkx, nx)
+                    ny = jnp.where(hit_k, nky, ny)
+                    nz = jnp.where(hit_k, nkz, nz)
+                    uu = jnp.where(hit_k, uk, uu)
+                    vv = jnp.where(hit_k, vk, vv)
+                    tri = jnp.where(hit_k, start + k, tri)
+                return t_best, nx, ny, nz, uu, vv, tri
+
+            t_best, nx, ny, nz, uu, vv, tri = jax.lax.cond(
+                ~is_int, do_leaf, lambda a: a,
+                (t_best, nx, ny, nz, uu, vv, tri))
+
+            safe = jnp.maximum(entry, 0)
+            rowf = nodes_f_ref[safe]       # [64] one wide row load
+            rowi = nodes_i_ref[safe]       # [16]
+
+            # Slab-test all 8 children, bit-packing the lane masks so the
+            # vector->scalar reduction happens 4x instead of 8x: child c's
+            # mask occupies a 15-bit field (lane-hit count <= PACKET = 1024
+            # fits) in one of four int32 accumulators, two fields each; a
+            # single sum-reduce per accumulator then yields all per-child
+            # any-lane-hit counts.
+            accs = [jnp.zeros(shape, jnp.int32) for _ in range(4)]
+            for c in range(WIDTH):
+                lox, loy, loz = rowf[6 * c], rowf[6 * c + 1], rowf[6 * c + 2]
+                hix, hiy, hiz = (rowf[6 * c + 3], rowf[6 * c + 4],
+                                 rowf[6 * c + 5])
+                t1x = (lox - qox) * idx
+                t2x = (hix - qox) * idx
+                t1y = (loy - qoy) * idy
+                t2y = (hiy - qoy) * idy
+                t1z = (loz - qoz) * idz
+                t2z = (hiz - qoz) * idz
+                tmin = jnp.maximum(jnp.minimum(t1x, t2x),
+                                   jnp.maximum(jnp.minimum(t1y, t2y),
+                                               jnp.minimum(t1z, t2z)))
+                tmax = jnp.minimum(jnp.maximum(t1x, t2x),
+                                   jnp.minimum(jnp.maximum(t1y, t2y),
+                                               jnp.maximum(t1z, t2z)))
+                lane_hit = (tmax >= tmin) & (tmax > 0) & (tmin < t_best)
+                accs[c % 4] = accs[c % 4] + (
+                    lane_hit.astype(jnp.int32) << (15 * (c // 4)))
+            sums = [jnp.sum(a) for a in accs]  # 4 scalar reductions
+
+            newsp = sp1
+            for c in range(WIDTH):
+                hit_count = (sums[c % 4] >> (15 * (c // 4))) & 0x7FFF
+                cid = rowi[c]
+                cmeta = rowi[8 + c]
+                valid = (cid >= 0) | (cmeta >= 0)
+                push = (hit_count > 0) & is_int & valid
+                enc = jnp.where(cid >= 0, cid, -cmeta - 2)
+                # Unconditional store into the first dead slot; only a push
+                # advances newsp, so non-pushed stores are overwritten or
+                # fall beyond the live stack.
+                stack_ref[newsp] = enc
+                newsp = newsp + push.astype(jnp.int32)
+
+            return newsp, step + 1, t_best, nx, ny, nz, uu, vv, tri
+
+        out = jax.lax.while_loop(cond, body, init)
+        _, _, t_best, nx, ny, nz, uu, vv, tri = out
+        t_ref[:] = t_best
+        nx_ref[:] = nx
+        ny_ref[:] = ny
+        nz_ref[:] = nz
+        u_ref[:] = uu
+        v_ref[:] = vv
+        tri_ref[:] = tri
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("leaf_k", "max_steps", "interpret"))
+def _traverse8(qo_planes, qd_planes, t_bound, nodes_f, nodes_i, tris,
+               leaf_k, max_steps, interpret):
+    n = qo_planes[0].shape[0]
+    assert n % PACKET == 0
+    rows = n // LANES
+    grid = n // PACKET
+
+    def as2d(a):
+        return a.reshape(rows, LANES)
+
+    block = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    plane_f = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    plane_i = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+
+    kernel = _traverse8_kernel(leaf_k, max_steps)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[block] * 7 + [full, full, full],
+        out_specs=(block,) * 7,
+        out_shape=(plane_f, plane_f, plane_f, plane_f, plane_f, plane_f,
+                   plane_i),
+        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*(as2d(p) for p in qo_planes), *(as2d(p) for p in qd_planes),
+      as2d(t_bound), nodes_f, nodes_i, tris)
+    return tuple(o.reshape(-1) for o in outs)
+
+
+def traverse_packets8(qo, qd, packed: PackedMesh8, leaf_k: int = WIDE_LEAF_K,
+                      max_steps: int = 2 ** 20, t_bound=None):
+    """Nearest-hit over the 8-wide packed mesh; drop-in signature/return
+    match for ops/pallas_bvh.traverse_packets (t_obj, (nx,ny,nz), u, v,
+    tri with -1 = miss)."""
+    n = qo[0].shape[0]
+    if t_bound is None:
+        t_bound = jnp.full((n,), BIG, jnp.float32)
+    pad = (-n) % PACKET
+    if pad:
+        padp = lambda a, val: jnp.concatenate(
+            [a, jnp.full((pad,), val, a.dtype)])
+        qo = tuple(padp(c, 0.0) for c in qo)
+        qd = tuple(padp(c, 1.0) for c in qd)
+        t_bound = jnp.concatenate(
+            [t_bound, jnp.full((pad,), -1.0, jnp.float32)])
+    interpret = jax.default_backend() == "cpu"
+    t, nx, ny, nz, u, v, tri = _traverse8(
+        tuple(qo), tuple(qd), t_bound, packed.nodes_f, packed.nodes_i,
+        packed.tris, leaf_k, max_steps, interpret)
+    if pad:
+        t, nx, ny, nz = t[:n], nx[:n], ny[:n], nz[:n]
+        u, v, tri = u[:n], v[:n], tri[:n]
+    return t, (nx, ny, nz), u, v, tri

@@ -270,7 +270,14 @@ def _mesh_hit_packet(o: V3, d: V3, times, geoms: T.Geoms, packed,
     qd = vec.normalize(vec.xform_dir(inv, d))
 
     from . import pallas_bvh as PB
+    from . import bvh8 as PB8
     from . import compact as compaction
+    # Traversal kernel dispatch on the packed layout: the 8-wide tree
+    # (ops/bvh8.PackedMesh8) and the binary skip-pointer tree share the
+    # same tri table and nearest-hit semantics, so the choice is purely a
+    # perf knob (scene.packed_meshes built by pack_all vs pack_all8).
+    traverse = (PB8.traverse_packets8 if isinstance(packed, PB8.PackedMesh8)
+                else PB.traverse_packets)
     sg = jax.lax.stop_gradient
     n = qo.x.shape[0]
     t_bound = jnp.full((n,), PB.BIG, jnp.float32)
@@ -316,7 +323,7 @@ def _mesh_hit_packet(o: V3, d: V3, times, geoms: T.Geoms, packed,
         perm = compaction.bucket_sort_permutation(bucket, 9)
         take = lambda a: jnp.take(a, perm, axis=0)
         t_obj_p, (nlx_p, nly_p, nlz_p), u_p, v_p, tri_p = \
-            PB.traverse_packets(
+            traverse(
                 (take(qox), take(qoy), take(qoz)),
                 (take(qdx), take(qdy), take(qdz)),
                 packed, t_bound=take(t_bound))
@@ -328,7 +335,7 @@ def _mesh_hit_packet(o: V3, d: V3, times, geoms: T.Geoms, packed,
                          unscramble(nlz_p))
         u, v, tri = unscramble(u_p), unscramble(v_p), unscramble(tri_p)
     else:
-        t_obj, (nlx, nly, nlz), u, v, tri = PB.traverse_packets(
+        t_obj, (nlx, nly, nlz), u, v, tri = traverse(
             (qox, qoy, qoz), (qdx, qdy, qdz), packed, t_bound=t_bound)
     hit = tri >= 0
 

@@ -251,9 +251,12 @@ def load_scene(path: str) -> T.Scene:
 
     if mesh_paths:
         from .bvh import build_mesh_bundle
-        from ..ops.pallas_bvh import pack_all
+        from ..ops.bvh8 import pack_all8
         meshes = build_mesh_bundle(mesh_paths)
-        packed = pack_all(meshes)
+        # 8-wide BVH is the default mesh traversal (1.45x the binary packet
+        # kernel on v5e, ops/bvh8.py); ops.pallas_bvh.pack_all swaps a scene
+        # back to the binary kernel (the integrator dispatches on the type).
+        packed = pack_all8(meshes)
     else:
         meshes = T.MeshBundle.empty()
         packed = ()
