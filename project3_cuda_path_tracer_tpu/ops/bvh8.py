@@ -20,7 +20,8 @@ Measured on v5e (blob 81920 tris, 1024x1024 depth 8, vs the binary kernel's
     not the bottleneck;
   * + bit-packed reductions (all 8 child masks summed through 4 int32
     accumulators -> 4 scalar reductions per step): 0.78 s/iter = 1.45x
-    FASTER, images bit-identical.
+    FASTER, images bit-identical;
+  * + 2048-ray packets (SUB8 = 16): 0.72 s/iter = 1.57x.
 The lesson for every packet kernel on this hardware: vector->scalar
 reductions are the scarcest resource in a Mosaic while_loop — batch them.
 
@@ -60,6 +61,10 @@ from .pallas_bvh import SUB, LANES, PACKET, BIG, TRI_ROW
 
 WIDTH = 8          # children per node
 STACK = 128        # SMEM stack entries (512 bytes); builder asserts it fits
+# Packet size: SUB8*128 rays share one cursor+stack. Measured on the blob
+# (1024x1024 d8): sub=8 784 ms, sub=16 718 ms, sub=32 861 ms — bigger
+# packets amortize the per-step scalar cost until union growth wins.
+SUB8 = 16
 # Fat leaves: a whole binary SUBTREE whose triangles (contiguous in the
 # DFS perm order) number <= WIDE_LEAF_K becomes ONE leaf child. Leaf pops
 # dominate the step count once interiors are 8-wide; doubling the tris per
@@ -241,8 +246,15 @@ def enable_wide_bvh(scene) -> None:
     scene.packed_meshes = pack_all8(scene.meshes)
 
 
-def _traverse8_kernel(leaf_k: int, max_steps: int):
-    """Kernel body: stack-based 8-wide traversal, one packet per grid step."""
+def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB):
+    """Kernel body: stack-based 8-wide traversal, one packet per grid step.
+
+    `sub` sublane rows per packet (packet = sub*128 rays). Bigger packets
+    amortize the per-step scalar cost (stack ops, 4 reductions) over more
+    rays; for incoherent bounce wavefronts the node union grows slowly
+    with packet size, so fewer, larger packets win (measured below). The
+    15-bit accumulator fields hold lane-hit counts up to sub = 256.
+    """
 
     def kernel(qox_ref, qoy_ref, qoz_ref, qdx_ref, qdy_ref, qdz_ref,
                tmax_ref, nodes_f_ref, nodes_i_ref, tris_ref,
@@ -254,7 +266,7 @@ def _traverse8_kernel(leaf_k: int, max_steps: int):
         idy = 1.0 / qdy
         idz = 1.0 / qdz
 
-        shape = (SUB, LANES)
+        shape = (sub, LANES)
         zero = jnp.zeros(shape, jnp.float32)
         stack_ref[0] = jnp.int32(0)   # root node row
         init = (jnp.int32(1), jnp.int32(0),
@@ -382,24 +394,25 @@ def _traverse8_kernel(leaf_k: int, max_steps: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("leaf_k", "max_steps", "interpret"))
+                   static_argnames=("leaf_k", "max_steps", "interpret",
+                                    "sub"))
 def _traverse8(qo_planes, qd_planes, t_bound, nodes_f, nodes_i, tris,
-               leaf_k, max_steps, interpret):
+               leaf_k, max_steps, interpret, sub):
     n = qo_planes[0].shape[0]
-    assert n % PACKET == 0
+    assert n % (sub * LANES) == 0
     rows = n // LANES
-    grid = n // PACKET
+    grid = n // (sub * LANES)
 
     def as2d(a):
         return a.reshape(rows, LANES)
 
-    block = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+    block = pl.BlockSpec((sub, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     plane_f = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     plane_i = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
 
-    kernel = _traverse8_kernel(leaf_k, max_steps)
+    kernel = _traverse8_kernel(leaf_k, max_steps, sub)
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -417,14 +430,19 @@ def _traverse8(qo_planes, qd_planes, t_bound, nodes_f, nodes_i, tris,
 
 
 def traverse_packets8(qo, qd, packed: PackedMesh8, leaf_k: int = WIDE_LEAF_K,
-                      max_steps: int = 2 ** 20, t_bound=None):
+                      max_steps: int = 2 ** 20, t_bound=None,
+                      sub: int = SUB8):
     """Nearest-hit over the 8-wide packed mesh; drop-in signature/return
     match for ops/pallas_bvh.traverse_packets (t_obj, (nx,ny,nz), u, v,
-    tri with -1 = miss)."""
+    tri with -1 = miss). `sub`*128 rays share one cursor+stack."""
     n = qo[0].shape[0]
     if t_bound is None:
         t_bound = jnp.full((n,), BIG, jnp.float32)
-    pad = (-n) % PACKET
+    packet = sub * LANES
+    if n < packet:          # small wavefronts: shrink the packet, not pad 4x
+        sub = SUB
+        packet = sub * LANES
+    pad = (-n) % packet
     if pad:
         padp = lambda a, val: jnp.concatenate(
             [a, jnp.full((pad,), val, a.dtype)])
@@ -435,7 +453,7 @@ def traverse_packets8(qo, qd, packed: PackedMesh8, leaf_k: int = WIDE_LEAF_K,
     interpret = jax.default_backend() == "cpu"
     t, nx, ny, nz, u, v, tri = _traverse8(
         tuple(qo), tuple(qd), t_bound, packed.nodes_f, packed.nodes_i,
-        packed.tris, leaf_k, max_steps, interpret)
+        packed.tris, leaf_k, max_steps, interpret, sub)
     if pad:
         t, nx, ny, nz = t[:n], nx[:n], ny[:n], nz[:n]
         u, v, tri = u[:n], v[:n], tri[:n]
