@@ -21,7 +21,11 @@ Measured on v5e (blob 81920 tris, 1024x1024 depth 8, vs the binary kernel's
   * + bit-packed reductions (all 8 child masks summed through 4 int32
     accumulators -> 4 scalar reductions per step): 0.78 s/iter = 1.45x
     FASTER, images bit-identical;
-  * + 2048-ray packets (SUB8 = 16): 0.72 s/iter = 1.57x.
+  * + 2048-ray packets (SUB8 = 16): 0.72 s/iter = 1.57x;
+  * a further cut to 3 reductions (sublane pre-reduce + binarize, the
+    current form) measured NEUTRAL (716 ms) — below ~4 reductions per
+    step something else binds; kept because it also frees the packet
+    size from the accumulator field width.
 The lesson for every packet kernel on this hardware: vector->scalar
 reductions are the scarcest resource in a Mosaic while_loop — batch them.
 
@@ -253,7 +257,8 @@ def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB):
     amortize the per-step scalar cost (stack ops, 4 reductions) over more
     rays; for incoherent bounce wavefronts the node union grows slowly
     with packet size, so fewer, larger packets win (measured below). The
-    15-bit accumulator fields hold lane-hit counts up to sub = 256.
+    9-bit accumulator fields hold per-lane-COLUMN counts (<= 128), so any
+    sub works.
     """
 
     def kernel(qox_ref, qoy_ref, qoz_ref, qdx_ref, qdy_ref, qdz_ref,
@@ -337,12 +342,14 @@ def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB):
             rowi = nodes_i_ref[safe]       # [16]
 
             # Slab-test all 8 children, bit-packing the lane masks so the
-            # vector->scalar reduction happens 4x instead of 8x: child c's
-            # mask occupies a 15-bit field (lane-hit count <= PACKET = 1024
-            # fits) in one of four int32 accumulators, two fields each; a
-            # single sum-reduce per accumulator then yields all per-child
+            # expensive vector->scalar reduction happens 3x instead of 8x:
+            # each child's mask is first sum-reduced over the SUBLANE axis
+            # (cheap, stays vector-shaped) and binarized to one bit per
+            # lane column, so child c occupies a 9-bit field (column count
+            # <= 128 fits) in one of three [1, LANES] int32 accumulators;
+            # one sum-reduce per accumulator then yields all per-child
             # any-lane-hit counts.
-            accs = [jnp.zeros(shape, jnp.int32) for _ in range(4)]
+            accs = [jnp.zeros((1, LANES), jnp.int32) for _ in range(3)]
             for c in range(WIDTH):
                 lox, loy, loz = rowf[6 * c], rowf[6 * c + 1], rowf[6 * c + 2]
                 hix, hiy, hiz = (rowf[6 * c + 3], rowf[6 * c + 4],
@@ -360,13 +367,15 @@ def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB):
                                    jnp.minimum(jnp.maximum(t1y, t2y),
                                                jnp.maximum(t1z, t2z)))
                 lane_hit = (tmax >= tmin) & (tmax > 0) & (tmin < t_best)
-                accs[c % 4] = accs[c % 4] + (
-                    lane_hit.astype(jnp.int32) << (15 * (c // 4)))
-            sums = [jnp.sum(a) for a in accs]  # 4 scalar reductions
+                col = jnp.sum(lane_hit.astype(jnp.int32), axis=0,
+                              keepdims=True)            # [1, LANES] <= sub
+                bit = (col > 0).astype(jnp.int32)
+                accs[c % 3] = accs[c % 3] + (bit << (9 * (c // 3)))
+            sums = [jnp.sum(a) for a in accs]  # 3 scalar reductions
 
             newsp = sp1
             for c in range(WIDTH):
-                hit_count = (sums[c % 4] >> (15 * (c // 4))) & 0x7FFF
+                hit_count = (sums[c % 3] >> (9 * (c // 3))) & 0x1FF
                 cid = rowi[c]
                 cmeta = rowi[8 + c]
                 valid = (cid >= 0) | (cmeta >= 0)
