@@ -92,6 +92,41 @@ def make_train_step(geoms, meshes, textures, cfg: integ.TraceConfig,
     return opt, step
 
 
+def make_train_scan(geoms, meshes, textures, cfg: integ.TraceConfig,
+                    num_steps: int, optimizer=None, unbiased: bool = True,
+                    packed_meshes=()):
+    """Build a jitted (params, opt_state, key, target) -> (params, opt_state,
+    losses[num_steps]) function that runs `num_steps` optimizer steps in ONE
+    device program via lax.scan — the production training-loop form. Per-step
+    host dispatch costs tens of ms over a remote-attached chip; scanning the
+    loop on device removes all of it (and is the standard JAX idiom for
+    training epochs). RNG: step i uses fold_in(key, i), matching what the
+    equivalent make_train_step loop would do.
+
+    Donates params/opt_state like make_train_step (copy aliased arrays
+    first)."""
+    import optax
+    opt = optimizer or optax.adam(1e-2)
+    loss_fn = unbiased_mse_grad_loss if unbiased else mse_loss
+
+    @partial(jax.jit, donate_argnums=(0, 1), static_argnames=())
+    def run(params: RenderParams, opt_state, key, target):
+        def one(carry, i):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, geoms, meshes, textures, jax.random.fold_in(key, i),
+                cfg, target, packed_meshes)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            one, (params, opt_state), jnp.arange(num_steps))
+        return params, opt_state, losses
+
+    return opt, run
+
+
 class InverseRenderer:
     """Fit scene parameters to a target image by gradient descent."""
 

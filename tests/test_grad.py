@@ -210,3 +210,43 @@ def test_grad_through_mesh_scene():
     jloss = jax.jit(loss)
     fd = (float(jloss(set_c(c0 + eps))) - float(jloss(set_c(c0 - eps)))) / (2 * eps)
     assert analytic == pytest.approx(fd, rel=0.08, abs=1e-5)
+
+
+def test_train_scan_matches_sequential_steps():
+    """make_train_scan (the one-dispatch production loop) must produce the
+    same losses and parameters as the equivalent make_train_step sequence
+    (same fold_in RNG schedule, same optimizer)."""
+    from project3_cuda_path_tracer_tpu.models.inverse import (
+        RenderParams, make_train_step, make_train_scan)
+    s = load_scene("/root/reference/scenes/cornell.txt")
+    s.camera.resolution = (16, 16)
+    s.camera.derive()
+    gt = tuple(int(x) for x in np.asarray(s.geoms.type))
+    cfg = integ.TraceConfig(width=16, height=16, trace_depth=3,
+                            antialias=False, geom_types=gt)
+    target = jnp.zeros((16, 16, 3), jnp.float32)
+    key = jax.random.PRNGKey(4)
+    N = 3
+
+    def fresh():
+        return jax.tree_util.tree_map(
+            jnp.array, RenderParams(materials=s.materials,
+                                    cam=s.camera.flat()))
+
+    opt, step = make_train_step(s.geoms, s.meshes, s.textures, cfg)
+    p = fresh()
+    st = opt.init(p)
+    seq_losses = []
+    for i in range(N):
+        p, st, loss = step(p, st, jax.random.fold_in(key, i), target)
+        seq_losses.append(float(loss))
+
+    opt2, run = make_train_scan(s.geoms, s.meshes, s.textures, cfg,
+                                num_steps=N)
+    p2 = fresh()
+    st2 = opt2.init(p2)
+    p2, st2, losses = run(p2, st2, key, target)
+
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p2.materials.color),
+                               np.asarray(p.materials.color), atol=1e-6)
