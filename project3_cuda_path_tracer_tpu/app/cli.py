@@ -124,7 +124,10 @@ def main(argv=None) -> int:
                 accum, getattr(renderer, "accum_sharding", None)) \
                 if args.sharded else jax.numpy.asarray(accum)
             renderer.iteration = start_iter
-            renderer.base_key = jax.random.PRNGKey(seed)
+            # Same RNG impl as an uninterrupted run (Renderer.__init__ uses
+            # jax.random.key(seed, impl=settings.rng)) — a PRNGKey here would
+            # silently switch a resumed render to a different sample stream.
+            renderer.base_key = jax.random.key(seed, impl=st.rng)
             print(f"resumed from {found} at iteration {start_iter}",
                   file=sys.stderr)
 
