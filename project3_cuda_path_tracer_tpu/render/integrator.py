@@ -173,6 +173,14 @@ def trace_wavefront(
             hit = compaction.apply_permutation(hit, perm)
 
         uniforms = jax.random.uniform(k_d, (4, n), jnp.float32)
+        if cfg.sort_materials or cfg.compact:
+            # Key the sample stream on the path's pixel identity, not its
+            # lane: path p draws uniforms[:, pixel(p)] wherever the sort
+            # placed it, so the permuted estimator is BITWISE identical to
+            # the unpermuted one (tests/test_render.py). In the unsorted
+            # path pixel_index == lane index and this gather is a no-op we
+            # skip entirely.
+            uniforms = jnp.take(uniforms, state.pixel_index, axis=1)
         last = depth >= (cfg.trace_depth - 1)
         out = wf.shade_planar(
             hit, state.direction, state.throughput, state.alive,
@@ -191,6 +199,8 @@ def trace_wavefront(
         alive2 = out.alive
         if cfg.russian_roulette:
             u_rr = jax.random.uniform(jax.random.fold_in(k_d, 7), (n,))
+            if cfg.sort_materials or cfg.compact:
+                u_rr = jnp.take(u_rr, state.pixel_index)  # path-keyed (above)
             q = jnp.clip(jnp.maximum(thr.x, jnp.maximum(thr.y, thr.z)),
                          0.05, 0.95)
             rr_on = depth >= 2

@@ -157,7 +157,25 @@ def sky_hdr(path, h=256, w=512):
     print("wrote", path)
 
 
+def regen_self_golden():
+    """Regenerate tests/golden_cornell_64x64_8spp_seed123.npz after a
+    DELIBERATE estimator change (tests/test_golden.py compares bitwise)."""
+    from project3_cuda_path_tracer_tpu import load_scene
+    from project3_cuda_path_tracer_tpu.render.integrator import Renderer
+    s = load_scene("/root/reference/scenes/cornell.txt")
+    s.camera.resolution = (64, 64)
+    s.camera.derive()
+    r = Renderer(s)
+    r.render(8, seed=123)
+    out = os.path.join(ROOT, "tests", "golden_cornell_64x64_8spp_seed123.npz")
+    np.savez_compressed(out, accum=np.asarray(r.accum, dtype=np.float32))
+    print("wrote", out)
+
+
 def main():
+    if "--self-golden" in sys.argv:
+        regen_self_golden()
+        return
     os.makedirs(MESH_DIR, exist_ok=True)
     os.makedirs(ASSET_DIR, exist_ok=True)
 
