@@ -21,12 +21,44 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
+def run_multiprocess(args) -> int:
+    """Spawn an N-process jax.distributed job (tools/mp_worker.py, Gloo
+    collectives on CPU) and report its steady-state throughput — the same
+    code path a real multi-host TPU launch takes."""
+    import socket
+    import subprocess
+    import tempfile
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(ROOT, "tools", "mp_worker.py")
+    with tempfile.TemporaryDirectory() as out:
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, "--pid", str(i),
+                 "--nproc", str(args.multiprocess), "--port", str(port),
+                 "--outdir", out, "--scene", args.scene,
+                 "--res", str(args.res or 256), "--spp", str(args.spp),
+                 "--bench"])
+            for i in range(args.multiprocess)
+        ]
+        rcs = [p.wait(timeout=1200) for p in procs]
+    return 1 if any(rcs) else 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("scene", nargs="?", default="scenes/cornell.txt")
     ap.add_argument("--spp", type=int, default=10)
     ap.add_argument("--res", type=int, default=0)
+    ap.add_argument("--multiprocess", type=int, default=0, metavar="N",
+                    help="instead of submeshes, launch N jax.distributed "
+                         "processes (CPU backend) and bench the global mesh")
     args = ap.parse_args()
+
+    if args.multiprocess:
+        return run_multiprocess(args)
 
     import jax
     from project3_cuda_path_tracer_tpu import load_scene
