@@ -103,6 +103,12 @@ def main(argv=None) -> int:
             print("scene not megakernel-eligible (mesh/texture/env); "
                   "falling back to the jnp renderer", file=sys.stderr)
             renderer = Renderer(scene)
+        elif jax.default_backend() == "cpu":
+            # The fused kernel is Mosaic/TPU-only (interpret mode would
+            # draw all-zero uniforms from the stubbed on-core PRNG).
+            print("megakernel requires a TPU backend; "
+                  "falling back to the jnp renderer", file=sys.stderr)
+            renderer = Renderer(scene)
         else:
             renderer = MegakernelRenderer(scene)
     else:

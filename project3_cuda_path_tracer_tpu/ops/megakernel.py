@@ -122,14 +122,27 @@ def _rows(a):
 
 
 def _make_kernel(sc: _SceneConst, width: int, height: int, depth: int,
-                 antialias: bool, n_real: int):
-    """Build the kernel body with everything baked."""
+                 antialias: bool, n_real: int, inject_uniforms: bool = False,
+                 debug_state: bool = False):
+    """Build the kernel body with everything baked.
+
+    `inject_uniforms` is the TEST harness mode: the per-bounce uniforms come
+    from a kernel input of shape [depth, 4, TILE_ROWS, LANES] instead of the
+    on-core PRNG (which returns zeros under interpret mode on CPU), and the
+    depth loop is unrolled so the uniform index is static. This lets
+    tests/test_megakernel.py drive the full kernel body through interpret
+    mode against the planar-jnp oracle with an identical sample stream."""
     G = len(sc.gtype)
     M = sc.color.shape[0]
 
-    def kernel(seed_ref, ax_ref, ay_ref, az_ref, ox_ref, oy_ref, oz_ref):
+    def kernel(seed_ref, *refs):
+        if inject_uniforms:
+            u_ref, ax_ref, ay_ref, az_ref, ox_ref, oy_ref, oz_ref = refs
+        else:
+            ax_ref, ay_ref, az_ref, ox_ref, oy_ref, oz_ref = refs
         i = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0] + i * jnp.int32(0x3E3779B9))
+        if not inject_uniforms:
+            pltpu.prng_seed(seed_ref[0] + i * jnp.int32(0x3E3779B9))
 
         shape = (TILE_ROWS, LANES)
         rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -323,10 +336,16 @@ def _make_kernel(sc: _SceneConst, width: int, height: int, depth: int,
             # (miss: background black, reference src/sceneStructs.h:8)
 
             # ---- scatter -------------------------------------------------
-            u_lobe = _u01(shape)
-            u1 = _u01(shape)
-            u2 = _u01(shape)
-            u_f = _u01(shape)
+            if inject_uniforms:
+                u_lobe = u_ref[bounce, 0]
+                u1 = u_ref[bounce, 1]
+                u2 = u_ref[bounce, 2]
+                u_f = u_ref[bounce, 3]
+            else:
+                u_lobe = _u01(shape)
+                u1 = _u01(shape)
+                u2 = _u01(shape)
+                u_f = _u01(shape)
 
             take_refr = u_lobe < prf
             take_spec = (~take_refr) & (u_lobe < prf + psp)
@@ -414,10 +433,21 @@ def _make_kernel(sc: _SceneConst, width: int, height: int, depth: int,
             return (ox, oy, oz, dx, dy, dz, thx, thy, thz, alive_f,
                     rad_x, rad_y, rad_z)
 
-        carry = jax.lax.fori_loop(
-            0, depth, depth_body,
-            (ox, oy, oz, dx, dy, dz, thx, thy, thz, alive_f,
-             rad_x, rad_y, rad_z))
+        init = (ox, oy, oz, dx, dy, dz, thx, thy, thz, alive_f,
+                rad_x, rad_y, rad_z)
+        if inject_uniforms:
+            # Unrolled so the uniform index is static (test mode only).
+            carry = init
+            for b in range(depth):
+                carry = depth_body(b, carry)
+        else:
+            carry = jax.lax.fori_loop(0, depth, depth_body, init)
+        if debug_state:
+            # Test hook: expose the post-loop ray state instead of radiance.
+            ox_ref[:] = carry[3]
+            oy_ref[:] = carry[4]
+            oz_ref[:] = carry[5]
+            return
         rad_x, rad_y, rad_z = carry[-3], carry[-2], carry[-1]
 
         ox_ref[:] = ax_ref[:] + rad_x
@@ -443,6 +473,49 @@ def _run(seed, ax, ay, az, spec):
         input_output_aliases={1: 0, 2: 1, 3: 2},
     )(seed, ax, ay, az)
     return out
+
+
+def run_interpret_with_uniforms(scene: T.Scene, width: int, height: int,
+                                depth: int, uniforms: np.ndarray,
+                                debug_state: bool = False):
+    """TEST harness: run the full megernel body once through Pallas
+    interpret mode (CPU) with an injected per-bounce uniform stream.
+
+    `uniforms` is [depth, 4, n] in shade_planar's draw order
+    (u_lobe, u1, u2, u_fresnel); antialias is forced off (its jitter would
+    need the on-core PRNG). Returns the one-iteration radiance [n] planes
+    (x, y, z) for the n = width*height real rays.
+    """
+    sc = _SceneConst(scene)
+    n = width * height
+    tile = TILE_ROWS * LANES
+    n_pad = ((n + tile - 1) // tile) * tile
+    grid = n_pad // tile
+    kernel = _make_kernel(sc, width, height, depth, antialias=False,
+                          n_real=n, inject_uniforms=True,
+                          debug_state=debug_state)
+
+    u = np.zeros((depth, 4, n_pad), np.float32)
+    u[:, :, :n] = np.asarray(uniforms, np.float32)
+    u = u.reshape(depth, 4, n_pad // LANES, LANES)
+
+    plane = jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32)
+    block = pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    ublock = pl.BlockSpec((depth, 4, TILE_ROWS, LANES),
+                          lambda i: (0, 0, i, 0),
+                          memory_space=pltpu.VMEM)
+    zeros = jnp.zeros((n_pad // LANES, LANES), jnp.float32)
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), ublock,
+                  block, block, block],
+        out_specs=(block, block, block),
+        out_shape=(plane, plane, plane),
+        interpret=True,
+    )(jnp.zeros((1,), jnp.int32), jnp.asarray(u), zeros, zeros, zeros)
+    return tuple(np.asarray(p).reshape(-1)[:n] for p in out)
 
 
 class _KernelSpec:
