@@ -35,11 +35,16 @@ identical to the binary path (same nearest-hit semantics over the same
 triangle table).
 
 Layout (host-collapsed from the binned-SAH binary tree of scene/bvh.py):
-  nodes_f [B8, 64] f32 — child c occupies cols [6c, 6c+6) = lo.xyz, hi.xyz;
+  nodes_f [B8, 72] f32 — child c occupies cols [6c, 6c+6) = lo.xyz, hi.xyz;
                           empty slots hold an inverted box (+BIG, -BIG);
-  nodes_i [B8, 16] i32 — col c: interior child's node row (-1 if not
-                          interior); col 8+c: leaf meta = start*16+count
-                          (-1 if not a leaf). A slot with both -1 is empty.
+                          col 64: ordered-pop threshold (midpoint of the
+                          child centers' spread along the sort axis);
+                          cols 65-71 pad;
+  nodes_i [B8, 24] i32 — col c: interior child's node row (-1 if not
+                          interior); col 8+c: leaf meta = start*32+count
+                          (-1 if not a leaf); col 16: child sort axis
+                          0/1/2 (cols 17-23 spare). A slot with both -1
+                          is empty.
   tris    [T+1, 24] f32 — identical row format to ops/pallas_bvh.py.
 
 Traversal: a scalar stack in SMEM holds encoded entries — v >= 0 is an
@@ -48,6 +53,23 @@ the LEAF_K Moller-Trumbore phase (vectorized over the packet, normals/uv
 interpolated in-kernel); if interior, slab-test the 8 children and push
 every child any lane entered. Per-ray t_best (seeded from the occlusion
 bound) prunes subtrees on both the box test and the push.
+
+Ordered traversal (round 2): the builder sorts each node's children
+ascending by box center along the parent's largest-extent axis and stores
+that axis in nodes_i[:, 16] plus the center-of-spread threshold in
+nodes_f[:, 64]; the kernel pushes the children
+in forward or reverse slot order so pops proceed near-to-far and each
+lane's t_best tightens before far subtrees are slab-tested — the far
+subtrees then fail `tmin < t_best` and are never pushed. Two vote modes:
+  ordered="dir"      — packet-majority direction sign along the axis
+                       (the CWBVH sign-ordering adapted to a shared
+                       cursor); right for coherent frusta;
+  ordered="centroid" — compare the packet's live-origin centroid against
+                       the node's threshold (near-to-far FROM THE ORIGIN
+                       CLUSTER); diffuse bounce packets have coherent
+                       origins but no direction majority, so this is the
+                       vote that survives incoherence. Default.
+Both cost ~6 scalar ops per step + 3-4 one-time reductions.
 """
 from __future__ import annotations
 
@@ -73,7 +95,11 @@ SUB8 = 16
 # DFS perm order) number <= WIDE_LEAF_K becomes ONE leaf child. Leaf pops
 # dominate the step count once interiors are 8-wide; doubling the tris per
 # pop halves the scalar-bound pop count for ~2x more (cheap) vector work.
-WIDE_LEAF_K = 15   # meta = start*16 + count caps count at 15
+WIDE_LEAF_K = 15   # meta = start*32 + count (encoding allows up to 31, but
+                   # the leaf-31 A/B measured a regression on both mesh
+                   # configs — blob 720 -> 787 ms/iter — the 31-wide
+                   # Moller-Trumbore unroll adds more vector time per pop
+                   # than the halved pop count saves; 15 is the optimum)
 
 
 class PackedMesh8(NamedTuple):
@@ -156,7 +182,7 @@ def pack_mesh8(meshes: T.MeshBundle, mesh_index: int = 0) -> PackedMesh8:
         s, c = (int(start[k]), int(count[k])) if count[k] > 0 else (
             int(r0[k]), int(r1[k] - r0[k]))
         assert 0 < c <= WIDE_LEAF_K
-        return s * 16 + c
+        return s * 32 + c
 
     nodes_f_rows: list = []
     nodes_i_rows: list = []
@@ -184,11 +210,19 @@ def pack_mesh8(meshes: T.MeshBundle, mesh_index: int = 0) -> PackedMesh8:
         nonlocal max_depth
         max_depth = max(max_depth, depth)
         my = len(nodes_f_rows)
-        f = np.zeros(64, np.float32)
-        ii = np.full(16, -1, np.int32)
+        f = np.zeros(72, np.float32)
+        ii = np.full(24, -1, np.int32)
         nodes_f_rows.append(f)
         nodes_i_rows.append(ii)
         kids = kids_of(b)
+        # Ordered traversal: sort children ascending by box center along
+        # the parent's largest axis so the kernel can pop near-to-far by
+        # choosing forward or reverse push order per packet.
+        axis = int(np.argmax(hi[b] - lo[b]))
+        kids.sort(key=lambda k: float(lo[k][axis] + hi[k][axis]))
+        ii[16] = axis
+        centers = [0.5 * float(lo[k][axis] + hi[k][axis]) for k in kids]
+        f[64] = 0.5 * (centers[0] + centers[-1])  # centroid-vote threshold
         for c, k in enumerate(kids):
             f[6 * c: 6 * c + 3] = lo[k]
             f[6 * c + 3: 6 * c + 6] = hi[k]
@@ -204,13 +238,14 @@ def pack_mesh8(meshes: T.MeshBundle, mesh_index: int = 0) -> PackedMesh8:
 
     if count[0] > 0:
         # whole mesh is a single binary leaf: one 8-wide node, one leaf slot
-        f = np.zeros(64, np.float32)
-        ii = np.full(16, -1, np.int32)
+        f = np.zeros(72, np.float32)
+        ii = np.full(24, -1, np.int32)
+        ii[16] = 0
         f[0:3], f[3:6] = lo[0], hi[0]
         for c in range(1, WIDTH):
             f[6 * c: 6 * c + 3] = BIG
             f[6 * c + 3: 6 * c + 6] = -BIG
-        ii[8] = int(start[0]) * 16 + int(count[0])
+        ii[8] = int(start[0]) * 32 + int(count[0])
         nodes_f_rows.append(f)
         nodes_i_rows.append(ii)
         max_depth = 1
@@ -250,70 +285,132 @@ def enable_wide_bvh(scene) -> None:
     scene.packed_meshes = pack_all8(scene.meshes)
 
 
-def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB):
-    """Kernel body: stack-based 8-wide traversal, one packet per grid step.
+
+
+def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB,
+                      ordered: str = "centroid", streams: int = 1):
+    """Kernel body: stack-based 8-wide traversal, `streams` independent
+    packets per grid step.
 
     `sub` sublane rows per packet (packet = sub*128 rays). Bigger packets
-    amortize the per-step scalar cost (stack ops, 4 reductions) over more
+    amortize the per-step scalar cost (stack ops, 3 reductions) over more
     rays; for incoherent bounce wavefronts the node union grows slowly
-    with packet size, so fewer, larger packets win (measured below). The
-    9-bit accumulator fields hold per-lane-COLUMN counts (<= 128), so any
-    sub works.
+    with packet size, so fewer, larger packets win (measured below).
+
+    `streams` > 1 interleaves that many packets (own stack, cursor, hit
+    state) inside ONE while loop: the per-pop cost is ~1 us nearly
+    independent of vector width (measured sub=8..32), i.e. the loop is
+    LATENCY-bound on its scalar chain (pop -> row load -> reduce -> push),
+    so two independent chains overlap and hide each other's latency. A
+    stream whose stack empties idles (masked) until the slowest stream of
+    the group finishes — pair adjacent packets so pop counts correlate.
     """
 
     def kernel(qox_ref, qoy_ref, qoz_ref, qdx_ref, qdy_ref, qdz_ref,
                tmax_ref, nodes_f_ref, nodes_i_ref, tris_ref,
                t_ref, nx_ref, ny_ref, nz_ref, u_ref, v_ref, tri_ref,
-               stack_ref):
-        qox, qoy, qoz = qox_ref[:], qoy_ref[:], qoz_ref[:]
-        qdx, qdy, qdz = qdx_ref[:], qdy_ref[:], qdz_ref[:]
-        idx = 1.0 / qdx
-        idy = 1.0 / qdy
-        idz = 1.0 / qdz
+               steps_ref, stack_ref):
+        S = streams
+
+        def rows(ref, s):
+            return ref[s * sub:(s + 1) * sub]
+
+        qox = [rows(qox_ref, s) for s in range(S)]
+        qoy = [rows(qoy_ref, s) for s in range(S)]
+        qoz = [rows(qoz_ref, s) for s in range(S)]
+        qdx = [rows(qdx_ref, s) for s in range(S)]
+        qdy = [rows(qdy_ref, s) for s in range(S)]
+        qdz = [rows(qdz_ref, s) for s in range(S)]
+        idx = [1.0 / v for v in qdx]
+        idy = [1.0 / v for v in qdy]
+        idz = [1.0 / v for v in qdz]
+        tmax0 = [rows(tmax_ref, s) for s in range(S)]
 
         shape = (sub, LANES)
         zero = jnp.zeros(shape, jnp.float32)
-        stack_ref[0] = jnp.int32(0)   # root node row
-        init = (jnp.int32(1), jnp.int32(0),
-                tmax_ref[:],
-                zero, zero, zero, zero, zero,
-                jnp.full(shape, -1, jnp.int32))
+
+        # One-time per-stream vote state (3-4 scalar reductions over live
+        # lanes; dead/pad lanes are t_bound <= 0 and do not vote).
+        votes = []
+        for s in range(S):
+            stack_ref[s, 0] = jnp.int32(0)   # root node row
+            live = tmax0[s] > 0.0
+            if ordered == "dir":
+                # Majority direction sign per axis: pops proceed
+                # near-to-far along the node sort axis for the majority
+                # direction.
+                n_live = jnp.sum(live.astype(jnp.int32))
+                votes.append(tuple(
+                    jnp.sum(((d > 0) & live).astype(jnp.int32)) * 2 > n_live
+                    for d in (qdx[s], qdy[s], qdz[s])))
+            elif ordered == "centroid":
+                # Live-origin centroid: pops proceed near-to-far FROM THE
+                # ORIGIN CLUSTER (diffuse bounce packets have coherent
+                # origins but no direction majority). Compared per node
+                # against the build-time child-spread midpoint
+                # nodes_f[:, 64].
+                livef = live.astype(jnp.float32)
+                inv_n = 1.0 / jnp.maximum(jnp.sum(livef), 1.0)
+                votes.append((jnp.sum(qox[s] * livef) * inv_n,
+                              jnp.sum(qoy[s] * livef) * inv_n,
+                              jnp.sum(qoz[s] * livef) * inv_n))
+            else:
+                votes.append(None)
+
+        # carry: step, then per stream (sp, t_best, nx, ny, nz, uu, vv, tri)
+        init = (jnp.int32(0),) + tuple(
+            x for s in range(S)
+            for x in (jnp.int32(1), tmax0[s], zero, zero, zero, zero, zero,
+                      jnp.full(shape, -1, jnp.int32)))
+
+        def unpack(state):
+            step = state[0]
+            per = [state[1 + 8 * s: 1 + 8 * (s + 1)] for s in range(S)]
+            return step, per
 
         def cond(state):
-            sp, step = state[0], state[1]
-            return (sp > 0) & (step < max_steps)
+            step, per = unpack(state)
+            any_live = per[0][0] > 0
+            for s in range(1, S):
+                any_live = any_live | (per[s][0] > 0)
+            return any_live & (step < max_steps)
 
-        def body(state):
-            sp, step, t_best, nx, ny, nz, uu, vv, tri = state
-            sp1 = sp - 1
-            entry = stack_ref[sp1]
+        def stream_step(s, st):
+            sp, t_best, nx, ny, nz, uu, vv, tri = st
+            active = sp > 0
+            sp1 = jnp.maximum(sp - 1, 0)
+            entry = stack_ref[s, sp1]
             is_int = entry >= 0
-            meta = -entry - 2          # valid when entry <= -2 (leaf)
+            # meta gated by the leaf predicate so an idle stream's stale
+            # slot-0 entry cannot index the triangle table out of range
+            do_leaf_p = active & ~is_int
+            meta = jnp.where(do_leaf_p, -entry - 2, 0)
 
             def do_leaf(args):
                 t_best, nx, ny, nz, uu, vv, tri = args
-                start = meta // 16
-                count = meta - start * 16
+                start = meta // 32
+                count = meta - start * 32
                 for k in range(leaf_k):
                     r = tris_ref[start + k]
                     in_leaf = k < count
                     v0x, v0y, v0z = r[0], r[1], r[2]
                     e1x, e1y, e1z = r[3], r[4], r[5]
                     e2x, e2y, e2z = r[6], r[7], r[8]
-                    pvx = qdy * e2z - qdz * e2y
-                    pvy = qdz * e2x - qdx * e2z
-                    pvz = qdx * e2y - qdy * e2x
+                    pvx = qdy[s] * e2z - qdz[s] * e2y
+                    pvy = qdz[s] * e2x - qdx[s] * e2z
+                    pvz = qdx[s] * e2y - qdy[s] * e2x
                     det = e1x * pvx + e1y * pvy + e1z * pvz
                     ok_det = jnp.abs(det) > 1e-12
                     inv_det = jnp.where(ok_det, 1.0 / det, 0.0)
-                    tvx = qox - v0x
-                    tvy = qoy - v0y
-                    tvz = qoz - v0z
+                    tvx = qox[s] - v0x
+                    tvy = qoy[s] - v0y
+                    tvz = qoz[s] - v0z
                     bu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
                     qvx = tvy * e1z - tvz * e1y
                     qvy = tvz * e1x - tvx * e1z
                     qvz = tvx * e1y - tvy * e1x
-                    bv = (qdx * qvx + qdy * qvy + qdz * qvz) * inv_det
+                    bv = (qdx[s] * qvx + qdy[s] * qvy + qdz[s] * qvz) \
+                        * inv_det
                     t_k = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
                     hit_k = (ok_det & (bu >= 0) & (bv >= 0)
                              & (bu + bv <= 1) & (t_k > 1e-6)
@@ -334,12 +431,12 @@ def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB):
                 return t_best, nx, ny, nz, uu, vv, tri
 
             t_best, nx, ny, nz, uu, vv, tri = jax.lax.cond(
-                ~is_int, do_leaf, lambda a: a,
+                do_leaf_p, do_leaf, lambda a: a,
                 (t_best, nx, ny, nz, uu, vv, tri))
 
             safe = jnp.maximum(entry, 0)
-            rowf = nodes_f_ref[safe]       # [64] one wide row load
-            rowi = nodes_i_ref[safe]       # [16]
+            rowf = nodes_f_ref[safe]       # [72] one wide row load
+            rowi = nodes_i_ref[safe]       # [24]
 
             # Slab-test all 8 children, bit-packing the lane masks so the
             # expensive vector->scalar reduction happens 3x instead of 8x:
@@ -354,104 +451,167 @@ def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB):
                 lox, loy, loz = rowf[6 * c], rowf[6 * c + 1], rowf[6 * c + 2]
                 hix, hiy, hiz = (rowf[6 * c + 3], rowf[6 * c + 4],
                                  rowf[6 * c + 5])
-                t1x = (lox - qox) * idx
-                t2x = (hix - qox) * idx
-                t1y = (loy - qoy) * idy
-                t2y = (hiy - qoy) * idy
-                t1z = (loz - qoz) * idz
-                t2z = (hiz - qoz) * idz
+                t1x = (lox - qox[s]) * idx[s]
+                t2x = (hix - qox[s]) * idx[s]
+                t1y = (loy - qoy[s]) * idy[s]
+                t2y = (hiy - qoy[s]) * idy[s]
+                t1z = (loz - qoz[s]) * idz[s]
+                t2z = (hiz - qoz[s]) * idz[s]
                 tmin = jnp.maximum(jnp.minimum(t1x, t2x),
                                    jnp.maximum(jnp.minimum(t1y, t2y),
                                                jnp.minimum(t1z, t2z)))
                 tmax = jnp.minimum(jnp.maximum(t1x, t2x),
                                    jnp.minimum(jnp.maximum(t1y, t2y),
                                                jnp.maximum(t1z, t2z)))
-                lane_hit = (tmax >= tmin) & (tmax > 0) & (tmin < t_best)
+                # `t_best > 0` deadens sentinel lanes (t_bound <= 0: pads
+                # and terminated paths) exactly — without it a box that
+                # straddles a dead lane's origin can give tmin < -1 and
+                # leak a vote into the packet union.
+                lane_hit = ((tmax >= tmin) & (tmax > 0) & (tmin < t_best)
+                            & (t_best > 0))
                 col = jnp.sum(lane_hit.astype(jnp.int32), axis=0,
                               keepdims=True)            # [1, LANES] <= sub
                 bit = (col > 0).astype(jnp.int32)
                 accs[c % 3] = accs[c % 3] + (bit << (9 * (c // 3)))
             sums = [jnp.sum(a) for a in accs]  # 3 scalar reductions
 
-            newsp = sp1
+            pushes = []
+            encs = []
             for c in range(WIDTH):
                 hit_count = (sums[c % 3] >> (9 * (c // 3))) & 0x1FF
                 cid = rowi[c]
                 cmeta = rowi[8 + c]
                 valid = (cid >= 0) | (cmeta >= 0)
-                push = (hit_count > 0) & is_int & valid
-                enc = jnp.where(cid >= 0, cid, -cmeta - 2)
-                # Unconditional store into the first dead slot; only a push
-                # advances newsp, so non-pushed stores are overwritten or
-                # fall beyond the live stack.
-                stack_ref[newsp] = enc
-                newsp = newsp + push.astype(jnp.int32)
+                push = (hit_count > 0) & is_int & active & valid
+                encs.append(jnp.where(cid >= 0, cid, -cmeta - 2))
+                pushes.append(push.astype(jnp.int32))
 
-            return newsp, step + 1, t_best, nx, ny, nz, uu, vv, tri
+            def push_loop(order):
+                def run(newsp):
+                    for c in order:
+                        # Unconditional store into the first dead slot;
+                        # only a push advances newsp, so non-pushed stores
+                        # are overwritten or fall beyond the live stack.
+                        stack_ref[s, newsp] = encs[c]
+                        newsp = newsp + pushes[c]
+                    return newsp
+                return run
+
+            if ordered:
+                # Children are build-sorted ascending along rowi[16]; pops
+                # are LIFO, so push far-first: ascending slot order when
+                # the near side is the HIGH end, descending when it is the
+                # low end. ~6 scalar ops + a branch per step.
+                axis = rowi[16]
+                if ordered == "dir":
+                    rev = ((axis == 0) & votes[s][0]
+                           | (axis == 1) & votes[s][1]
+                           | (axis == 2) & votes[s][2])
+                else:
+                    thr = rowf[64]
+                    ca = jnp.where(axis == 0, votes[s][0],
+                                   jnp.where(axis == 1, votes[s][1],
+                                             votes[s][2]))
+                    # rev pushes slots 7..0 so slot 0 (lowest center) pops
+                    # first — choose it when the origin cluster is at the
+                    # LOW end of the child spread
+                    rev = ca < thr
+                newsp = jax.lax.cond(
+                    rev, push_loop(range(WIDTH - 1, -1, -1)),
+                    push_loop(range(WIDTH)), sp1)
+            else:
+                newsp = push_loop(range(WIDTH))(sp1)
+
+            newsp = jnp.where(active, newsp, 0)
+            return (newsp, t_best, nx, ny, nz, uu, vv, tri)
+
+        def body(state):
+            step, per = unpack(state)
+            out = []
+            for s in range(S):
+                out.extend(stream_step(s, per[s]))
+            return (step + 1,) + tuple(out)
 
         out = jax.lax.while_loop(cond, body, init)
-        _, _, t_best, nx, ny, nz, uu, vv, tri = out
-        t_ref[:] = t_best
-        nx_ref[:] = nx
-        ny_ref[:] = ny
-        nz_ref[:] = nz
-        u_ref[:] = uu
-        v_ref[:] = vv
-        tri_ref[:] = tri
+        step, per = unpack(out)
+        steps_ref[0] = jnp.full((8, LANES), step, jnp.int32)  # pop count
+        for s in range(S):
+            _, t_best, nx, ny, nz, uu, vv, tri = per[s]
+            sl = slice(s * sub, (s + 1) * sub)
+            t_ref[sl] = t_best
+            nx_ref[sl] = nx
+            ny_ref[sl] = ny
+            nz_ref[sl] = nz
+            u_ref[sl] = uu
+            v_ref[sl] = vv
+            tri_ref[sl] = tri
 
     return kernel
 
 
 @functools.partial(jax.jit,
                    static_argnames=("leaf_k", "max_steps", "interpret",
-                                    "sub"))
+                                    "sub", "ordered", "streams"))
 def _traverse8(qo_planes, qd_planes, t_bound, nodes_f, nodes_i, tris,
-               leaf_k, max_steps, interpret, sub):
+               leaf_k, max_steps, interpret, sub, ordered="centroid",
+               streams=1):
     n = qo_planes[0].shape[0]
-    assert n % (sub * LANES) == 0
+    group = streams * sub * LANES
+    assert n % group == 0
     rows = n // LANES
-    grid = n // (sub * LANES)
+    grid = n // group
 
     def as2d(a):
         return a.reshape(rows, LANES)
 
-    block = pl.BlockSpec((sub, LANES), lambda i: (i, 0),
+    block = pl.BlockSpec((streams * sub, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     plane_f = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     plane_i = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
 
-    kernel = _traverse8_kernel(leaf_k, max_steps, sub)
+    kernel = _traverse8_kernel(leaf_k, max_steps, sub, ordered, streams)
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[block] * 7 + [full, full, full],
-        out_specs=(block,) * 7,
+        out_specs=(block,) * 7 + (
+            pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),),
         out_shape=(plane_f, plane_f, plane_f, plane_f, plane_f, plane_f,
-                   plane_i),
-        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
+                   plane_i,
+                   jax.ShapeDtypeStruct((grid, 8, LANES), jnp.int32)),
+        scratch_shapes=[pltpu.SMEM((streams, STACK), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*(as2d(p) for p in qo_planes), *(as2d(p) for p in qd_planes),
       as2d(t_bound), nodes_f, nodes_i, tris)
-    return tuple(o.reshape(-1) for o in outs)
+    return tuple(o.reshape(-1) for o in outs[:7]) + (outs[7],)
 
 
 def traverse_packets8(qo, qd, packed: PackedMesh8, leaf_k: int = WIDE_LEAF_K,
                       max_steps: int = 2 ** 20, t_bound=None,
-                      sub: int = SUB8):
+                      sub: int = SUB8, ordered: str = "centroid",
+                      streams: int = 1, return_steps: bool = False):
     """Nearest-hit over the 8-wide packed mesh; drop-in signature/return
     match for ops/pallas_bvh.traverse_packets (t_obj, (nx,ny,nz), u, v,
-    tri with -1 = miss). `sub`*128 rays share one cursor+stack."""
+    tri with -1 = miss). `sub`*128 rays share one cursor+stack.
+    `ordered` picks the near-to-far pop vote ("dir", "centroid", or False
+    for build order); `streams` packets run interleaved per kernel
+    instance (latency hiding). `return_steps` appends the per-group
+    pop-count diagnostic [grid]."""
     n = qo[0].shape[0]
     if t_bound is None:
         t_bound = jnp.full((n,), BIG, jnp.float32)
+    if n < streams * sub * LANES:   # small wavefronts: shrink, don't pad 4x
+        streams = 1
     packet = sub * LANES
-    if n < packet:          # small wavefronts: shrink the packet, not pad 4x
+    if n < packet:
         sub = SUB
         packet = sub * LANES
-    pad = (-n) % packet
+    group = streams * packet
+    pad = (-n) % group
     if pad:
         padp = lambda a, val: jnp.concatenate(
             [a, jnp.full((pad,), val, a.dtype)])
@@ -460,10 +620,12 @@ def traverse_packets8(qo, qd, packed: PackedMesh8, leaf_k: int = WIDE_LEAF_K,
         t_bound = jnp.concatenate(
             [t_bound, jnp.full((pad,), -1.0, jnp.float32)])
     interpret = jax.default_backend() == "cpu"
-    t, nx, ny, nz, u, v, tri = _traverse8(
+    t, nx, ny, nz, u, v, tri, steps = _traverse8(
         tuple(qo), tuple(qd), t_bound, packed.nodes_f, packed.nodes_i,
-        packed.tris, leaf_k, max_steps, interpret, sub)
+        packed.tris, leaf_k, max_steps, interpret, sub, ordered, streams)
     if pad:
         t, nx, ny, nz = t[:n], nx[:n], ny[:n], nz[:n]
         u, v, tri = u[:n], v[:n], tri[:n]
+    if return_steps:
+        return t, (nx, ny, nz), u, v, tri, steps[:, 0, 0]
     return t, (nx, ny, nz), u, v, tri

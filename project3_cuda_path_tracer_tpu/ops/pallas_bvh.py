@@ -173,7 +173,10 @@ def _traverse_kernel(leaf_k: int, root: int, max_steps: int):
             tmax = jnp.minimum(jnp.maximum(t1x, t2x),
                                jnp.minimum(jnp.maximum(t1y, t2y),
                                            jnp.maximum(t1z, t2z)))
-            lane_hit = (tmax >= tmin) & (tmax > 0) & (tmin < t_best)
+            # `t_best > 0` deadens sentinel lanes (t_bound <= 0: pads and
+            # terminated paths) exactly — see ops/bvh8.py.
+            lane_hit = ((tmax >= tmin) & (tmax > 0) & (tmin < t_best)
+                        & (t_best > 0))
             any_hit = jnp.any(lane_hit) & active
             is_leaf = meta >= 0
 
@@ -395,7 +398,7 @@ def _traverse_kernel_sub(leaf_k: int, root: int, max_steps: int):
                                jnp.minimum(jnp.maximum(t1y, t2y),
                                            jnp.maximum(t1z, t2z)))
             lane_hit = ((tmax >= tmin) & (tmax > 0) & (tmin < t_best)
-                        & active)
+                        & (t_best > 0) & active)
             # int32 row-wise any: Mosaic cannot extract scalar bools
             row_hit_i = jnp.max(lane_hit.astype(jnp.int32), axis=1,
                                 keepdims=True)           # (SUB,1) int32

@@ -247,6 +247,7 @@ def _mesh_hit_packet(o: V3, d: V3, times, geoms: T.Geoms, packed,
                      differentiable: bool = False,
                      tri_offset: int = 0,
                      t_world_bound=None,
+                     alive=None,
                      reorder: bool = False) -> HitP:
     """MESH geom via the Pallas packet traversal (ops/pallas_bvh).
 
@@ -288,6 +289,15 @@ def _mesh_hit_packet(o: V3, d: V3, times, geoms: T.Geoms, packed,
         md = vec.xform_dir(fwd, qd)
         t_bound = sg(t_world_bound / jnp.maximum(vec.norm(md), 1e-12)
                      * 1.0005 + 1e-3)
+    if alive is not None:
+        # Dead lanes get the padding sentinel t_bound = -1: every slab test
+        # fails `tmin < t_best`, so they never vote a child into the packet
+        # union and never enter a leaf phase — terminated paths stop
+        # widening the shared-cursor traversal (the wavefront masking
+        # analogue of the reference's stream compaction,
+        # src/pathtrace.cu:313-317). Their outputs (tri = -1) are already
+        # masked downstream by `hit`.
+        t_bound = jnp.where(alive, t_bound, -1.0)
 
     qox, qoy, qoz = sg(qo.x), sg(qo.y), sg(qo.z)
     qdx, qdy, qdz = sg(qd.x), sg(qd.y), sg(qd.z)
@@ -394,13 +404,17 @@ def intersect_planar(o: V3, d: V3, times, geoms: T.Geoms,
                      meshes: T.MeshBundle, geom_types: Tuple[int, ...],
                      packed_meshes: tuple = (),
                      mesh_ids: Tuple[int, ...] = (),
-                     differentiable_mesh: bool = False) -> HitP:
+                     differentiable_mesh: bool = False,
+                     alive=None) -> HitP:
     """Nearest hit over all geoms (statically unrolled merge;
     reference loop: src/pathtrace.cu:176-199).
 
     `mesh_ids[g]` (static) selects the PackedMesh for MESH geoms; when a
     packed form is provided the Pallas packet traversal is used, otherwise
-    the XLA gather walk."""
+    the XLA gather walk. `alive` ([N] bool, optional) lets the packet
+    traversal skip terminated paths entirely (their slab bound becomes the
+    dead sentinel, shrinking packet node unions); primitive tests are
+    branchless per lane so masking would not speed them up."""
     n = o.x.shape[0]
     best = HitP(t=jnp.full((n,), BIG, jnp.float32),
                 normal=V3(*(jnp.zeros((n,), jnp.float32),) * 3),
@@ -437,7 +451,7 @@ def intersect_planar(o: V3, d: V3, times, geoms: T.Geoms,
                 o, d, times, geoms, packed_meshes[mid], g,
                 meshes=meshes, differentiable=differentiable_mesh,
                 tri_offset=meshes.mesh_tri_offset[mid],
-                t_world_bound=best.t)
+                t_world_bound=best.t, alive=alive)
         else:
             cand = _mesh_hit_planar(o, d, times, geoms, meshes, g)
         best = merge(best, cand)
@@ -498,9 +512,17 @@ def _sample_texture_planar(textures: T.Textures, mat_id, u, v,
     ha, wa = textures.atlas.shape[0], textures.atlas.shape[1]
     flat = (jnp.clip(yi, 0, ha - 1) * wa
             + jnp.clip(xi, 0, wa - 1)).astype(jnp.int32)
-    ax = jnp.take(textures.atlas[:, :, 0].reshape(-1), flat)
-    ay = jnp.take(textures.atlas[:, :, 1].reshape(-1), flat)
-    az = jnp.take(textures.atlas[:, :, 2].reshape(-1), flat)
+    if textures.atlas_packed.shape[0] == ha * wa:
+        # single-gather path: one u32 take + elementwise R8G8B8 unpack
+        # (bitwise identical to the three f32 takes — utils/image.pack_rgb8)
+        p = jnp.take(textures.atlas_packed, flat).astype(jnp.int32)
+        ax = (p & 0xFF).astype(jnp.float32) / 255.0
+        ay = ((p >> 8) & 0xFF).astype(jnp.float32) / 255.0
+        az = ((p >> 16) & 0xFF).astype(jnp.float32) / 255.0
+    else:
+        ax = jnp.take(textures.atlas[:, :, 0].reshape(-1), flat)
+        ay = jnp.take(textures.atlas[:, :, 1].reshape(-1), flat)
+        az = jnp.take(textures.atlas[:, :, 2].reshape(-1), flat)
     textured = tid >= 0
     return vec.where(textured, V3(ax, ay, az), base)
 
@@ -514,6 +536,23 @@ def _sample_env_planar(textures: T.Textures, d: V3) -> V3:
     yi = jnp.clip((v * he).astype(jnp.int32), 0, he - 1)
     flat = yi * we + xi
     scale = textures.env_enabled
+    if textures.env_packed.shape[0] == he * we:
+        # single-gather path: one u32 take + elementwise RGBE unpack
+        # (bitwise identical to the three f32 takes — utils/image.pack_rgbe)
+        p = jnp.take(textures.env_packed, flat)
+        ex = ((p >> 24) & 0xFF).astype(jnp.int32)
+        p = p.astype(jnp.int32)
+        # 2^(ex-136) built exactly by bit-constructing the f32 exponent
+        # field (hardware exp2 is an approximation); the biased exponent
+        # ex-9 is clamped to the normal range — the load-time roundtrip
+        # guard (scene/parser.py) falls back to the f32 planes for any
+        # asset with sub-2^-126 radiance texels.
+        pot = jax.lax.bitcast_convert_type(
+            jnp.clip(ex - 9, 1, 254) << 23, jnp.float32)
+        s = jnp.where(ex > 0, pot, 0.0) * scale
+        return V3(((p & 0xFF).astype(jnp.float32) + 0.5) * s,
+                  (((p >> 8) & 0xFF).astype(jnp.float32) + 0.5) * s,
+                  (((p >> 16) & 0xFF).astype(jnp.float32) + 0.5) * s)
     return V3(jnp.take(textures.env[:, :, 0].reshape(-1), flat) * scale,
               jnp.take(textures.env[:, :, 1].reshape(-1), flat) * scale,
               jnp.take(textures.env[:, :, 2].reshape(-1), flat) * scale)

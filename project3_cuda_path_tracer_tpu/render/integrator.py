@@ -100,6 +100,13 @@ class TraceConfig:
     # faster fwd+bwd measured (61 -> 201 M segs/s on cornell). Free for
     # forward-only rendering.
     remat: bool = True
+    # Remat offload policy: None = save nothing (recompute the whole bounce
+    # including intersect in the backward sweep); "hits" = save the
+    # intersection results (checkpoint_name'd) so the backward sweep only
+    # recomputes shading — intersect is the expensive half of a bounce and
+    # its saved outputs are small (~10 planes). Measured on cornell
+    # 800x800 d8 (scanned train step): 129 -> 155 M segs/s; default.
+    remat_save: Optional[str] = "hits"
     # Russian-roulette termination from bounce 3 on (unbiased: survivors'
     # throughput is divided by the survival probability). An extension over
     # the reference's fixed-depth loop; off by default for exact parity.
@@ -157,11 +164,21 @@ def trace_wavefront(
         hit = wf.intersect_planar(state.origin, state.direction, state.time,
                                   geoms, meshes, geom_types,
                                   packed_meshes, cfg.mesh_ids,
-                                  cfg.differentiable_mesh)
+                                  cfg.differentiable_mesh,
+                                  alive=state.alive)
+        if cfg.remat_save == "hits":
+            from jax.ad_checkpoint import checkpoint_name
+            hit = jax.tree_util.tree_map(
+                lambda a: checkpoint_name(a, "hit"), hit)
         return _shade_and_advance(state, radiance, hit, depth, k_d), None
 
     if cfg.remat:
-        bounce = jax.checkpoint(bounce)
+        if cfg.remat_save == "hits":
+            bounce = jax.checkpoint(
+                bounce,
+                policy=jax.checkpoint_policies.save_only_these_names("hit"))
+        else:
+            bounce = jax.checkpoint(bounce)
 
     def _shade_and_advance(state, radiance, hit, depth, k_d):
         if cfg.sort_materials or cfg.compact:

@@ -1,6 +1,7 @@
 """8-wide BVH (ops/bvh8): builder invariants, traversal parity with the
 binary packet kernel, occlusion-bound pruning, end-to-end render equality."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -44,11 +45,11 @@ def _aimed_rays(n, seed=0):
 
 def test_leaf_metas_cover_all_triangles_once(blob, packed8):
     ni = np.asarray(packed8.nodes_i)
-    metas = ni[:, 8:][ni[:, 8:] >= 0]
+    metas = ni[:, 8:16][ni[:, 8:16] >= 0]
     n_tris = np.asarray(packed8.tris).shape[0] - 1  # minus pad row
     cover = np.zeros(n_tris, np.int32)
     for meta in metas:
-        st, ct = meta // 16, meta % 16
+        st, ct = meta // 32, meta % 32
         cover[st:st + ct] += 1
     assert (cover == 1).all()
 
@@ -119,3 +120,15 @@ def test_render_matches_binary_path():
     r2.render(2, seed=3)
 
     np.testing.assert_allclose(r8.image(), r2.image(), atol=1e-5)
+
+
+def test_streams2_matches_streams1(blob, packed8):
+    """Multi-stream interleaved traversal (latency hiding) must be an
+    exact no-op on results: two packets per kernel instance, own stacks."""
+    import project3_cuda_path_tracer_tpu.ops.bvh8 as B8
+    qo, qd = _aimed_rays(4096 * 2, seed=3)
+    r1 = B8.traverse_packets8(qo, qd, packed8, sub=16, streams=1)
+    r2 = B8.traverse_packets8(qo, qd, packed8, sub=16, streams=2)
+    for a, b in zip(jax.tree_util.tree_leaves(r1),
+                    jax.tree_util.tree_leaves(r2)):
+        assert (np.asarray(a) == np.asarray(b)).all()
