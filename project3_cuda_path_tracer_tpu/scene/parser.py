@@ -326,6 +326,33 @@ def _load_textures(mats: List[dict], envmap_path: Optional[str],
     else:
         env = np.zeros((1, 1, 3), np.float32)
         env_enabled = 0.0
+    from ..utils.image import pack_rgb8, pack_rgbe
+
+    def _packed_or_none(img, pack, unpack):
+        # Only ship the single-gather plane when it roundtrips BITWISE to
+        # the f32 plane (true for PNG-sourced LDR / HDR-sourced RGBE; an
+        # unusual source, e.g. an .hdr used as a material texture, falls
+        # back to the three-take path instead of losing precision).
+        p = pack(img)
+        if np.array_equal(unpack(p).reshape(img.shape), img):
+            return jnp.asarray(p)
+        return None
+
+    def _unpack_rgb8(p):
+        b = np.stack([(p & 0xFF), (p >> 8) & 0xFF, (p >> 16) & 0xFF], -1)
+        return b.astype(np.float32) / 255.0
+
+    def _unpack_rgbe(p):
+        # mirrors the shader's clamped bit-constructed power of two
+        # (ops/wavefront._sample_env_planar) so the guard rejects any
+        # asset the shader couldn't reproduce exactly
+        e = ((p >> 24) & 0xFF).astype(np.int32)
+        s = np.where(e > 0,
+                     np.exp2(np.clip(e - 9, 1, 254) - 127.0), 0.0
+                     ).astype(np.float32)
+        m = np.stack([(p & 0xFF), (p >> 8) & 0xFF, (p >> 16) & 0xFF], -1)
+        return (m.astype(np.float32) + 0.5) * s[..., None]
+
     return T.Textures(
         atlas=jnp.asarray(atlas), rect=jnp.asarray(rect),
         tex_id=jnp.asarray(tex_id), env=jnp.asarray(env),
@@ -333,4 +360,6 @@ def _load_textures(mats: List[dict], envmap_path: Optional[str],
         checker_scale=jnp.asarray(checker_scale),
         checker_color2=jnp.asarray(checker_c2),
         sky=jnp.asarray(sky),
+        atlas_packed=_packed_or_none(atlas, pack_rgb8, _unpack_rgb8),
+        env_packed=_packed_or_none(env, pack_rgbe, _unpack_rgbe),
     )

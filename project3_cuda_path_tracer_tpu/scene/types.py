@@ -148,6 +148,23 @@ class Textures:
     checker_scale: jnp.ndarray   # [M] float32 (0 = off)
     checker_color2: jnp.ndarray  # [M,3] float32
     sky: jnp.ndarray             # [14] float32
+    # Packed single-gather texel planes (TPU fast path: one u32 take per
+    # fetch instead of three f32 takes — random-access gathers are the
+    # scarce resource, ops/wavefront.py). Encodings roundtrip bitwise to
+    # the f32 planes: atlas R8G8B8 (source PNGs are 8-bit; byte/255 in f32
+    # reproduces read_png exactly) and env RGBE (the Radiance .hdr wire
+    # format itself; (m+0.5)*2^(e-136) reproduces read_hdr exactly).
+    # Shape (1,) = absent (fall back to the f32 planes).
+    atlas_packed: jnp.ndarray = None  # [Ha*Wa] uint32
+    env_packed: jnp.ndarray = None    # [He*We] uint32
+
+    def __post_init__(self):
+        if self.atlas_packed is None:
+            object.__setattr__(self, "atlas_packed",
+                               jnp.zeros((1,), jnp.uint32))
+        if self.env_packed is None:
+            object.__setattr__(self, "env_packed",
+                               jnp.zeros((1,), jnp.uint32))
 
     @staticmethod
     def none(num_materials: int) -> "Textures":

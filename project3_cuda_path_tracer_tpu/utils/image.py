@@ -162,6 +162,40 @@ def read_hdr(path: str) -> np.ndarray:
     return (out[..., :3].astype(np.float32) + 0.5) * scale[..., None].astype(np.float32)
 
 
+def pack_rgb8(img: np.ndarray) -> np.ndarray:
+    """[H,W,3] float32 in [0,1] -> flat [H*W] uint32 (R | G<<8 | B<<16).
+
+    Exact for PNG-sourced data: read_png returns byte/255, and
+    round(x*255) recovers the byte, so unpack (byte/255 in f32) is
+    bitwise identical to the f32 plane."""
+    b = np.clip(np.rint(img.astype(np.float64) * 255.0), 0, 255).astype(
+        np.uint32)
+    return (b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16)).reshape(-1)
+
+
+def pack_rgbe(img: np.ndarray) -> np.ndarray:
+    """[H,W,3] float32 radiance -> flat [H*W] uint32 Radiance RGBE
+    (R | G<<8 | B<<16 | E<<24), the .hdr wire format itself.
+
+    Exact for HDR-sourced data: read_hdr returns (m+0.5)*2^(e-136); the
+    shared exponent from frexp of the max channel reproduces e and
+    m = round(v/2^(e-136) - 0.5) recovers the mantissa byte, so unpack is
+    bitwise identical to the f32 plane."""
+    v = np.maximum(img.astype(np.float64), 0.0)
+    maxc = v.max(axis=-1)
+    nz = maxc > 1e-32
+    _, e = np.frexp(np.where(nz, maxc, 1.0))
+    # stb semantics: mantissa of the max channel lands in [128, 255];
+    # read_hdr's +0.5 bias puts maxc in [128.5, 255.5]*2^(e-136), whose
+    # frexp exponent is e - 128 exactly.
+    scale = np.where(nz, np.exp2(-(e.astype(np.float64)) + 8.0), 0.0)
+    m = np.clip(np.rint(v * scale[..., None] - 0.5), 0, 255).astype(
+        np.uint32)
+    ee = np.where(nz, e + 128, 0).astype(np.uint32)
+    return (m[..., 0] | (m[..., 1] << 8) | (m[..., 2] << 16)
+            | (ee << 24)).reshape(-1)
+
+
 def read_image(path: str) -> np.ndarray:
     ext = os.path.splitext(path)[1].lower()
     if ext == ".hdr":

@@ -198,3 +198,42 @@ def test_texture_env_planar_match_rows():
     env_pl = wf._sample_env_planar(s.textures, vec.from_rows(jnp.asarray(d)))
     np.testing.assert_allclose(np.asarray(vec.to_rows(env_pl)),
                                np.asarray(env_rows), atol=1e-5)
+
+
+def test_packed_texture_planes_attached_and_bitwise():
+    """The u32 single-gather texel planes (utils/image.pack_rgb8/pack_rgbe)
+    must attach for the PNG atlas + HDR envmap assets and reproduce the
+    three-take f32 fetch BITWISE."""
+    import dataclasses
+    from project3_cuda_path_tracer_tpu import load_scene
+    s = load_scene("scenes/textured_env.txt")
+    tex = s.textures
+    ha, wa = tex.atlas.shape[0], tex.atlas.shape[1]
+    he, we = tex.env.shape[0], tex.env.shape[1]
+    assert tex.atlas_packed.shape[0] == ha * wa, "atlas pack fell back"
+    assert tex.env_packed.shape[0] == he * we, "env pack fell back"
+
+    bare = dataclasses.replace(
+        tex, atlas_packed=jnp.zeros((1,), jnp.uint32),
+        env_packed=jnp.zeros((1,), jnp.uint32))
+
+    n = 2048
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(rng.uniform(-1, 2, n).astype(np.float32))
+    v = jnp.asarray(rng.uniform(-1, 2, n).astype(np.float32))
+    mat_id = jnp.asarray(rng.integers(0, tex.rect.shape[0], n)
+                         .astype(np.int32))
+    base = vec.from_rows(jnp.asarray(
+        rng.uniform(0, 1, (n, 3)).astype(np.float32)))
+    packed = wf._sample_texture_planar(tex, mat_id, u, v, base)
+    plain = wf._sample_texture_planar(bare, mat_id, u, v, base)
+    for a, b in zip(packed, plain):
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    dd = vec.from_rows(jnp.asarray(d))
+    env_packed = wf._sample_env_planar(tex, dd)
+    env_plain = wf._sample_env_planar(bare, dd)
+    for a, b in zip(env_packed, env_plain):
+        assert (np.asarray(a) == np.asarray(b)).all()
