@@ -70,11 +70,37 @@ def main() -> int:
         dt = min(dt, time.perf_counter() - t0)
 
     segs_per_s = TIMED_STEPS * WIDTH * HEIGHT * DEPTH / dt
+
+    # Second form, same kernels: INLINE per-step dispatch (one jitted train
+    # step per host round-trip). Reported alongside so cross-round deltas
+    # can be attributed to kernels vs dispatch conditions; the headline
+    # metric stays the scanned-epoch form (fixed methodology since r1).
+    from project3_cuda_path_tracer_tpu.models.inverse import make_train_step
+    _, step = make_train_step(scene.geoms, scene.meshes, scene.textures, cfg)
+    params2 = jax.tree_util.tree_map(
+        jnp.array, RenderParams(materials=scene.materials,
+                                cam=scene.camera.flat()))
+    opt_state2 = jax.tree_util.tree_map(jnp.array, opt.init(params2))
+    params2, opt_state2, l = step(params2, opt_state2, key, target)
+    jax.block_until_ready(l)
+    inline_dt = float("inf")
+    for r in range(5):
+        t0 = time.perf_counter()
+        params2, opt_state2, l = step(params2, opt_state2,
+                                      jax.random.fold_in(key, 100 + r),
+                                      target)
+        jax.block_until_ready(l)
+        inline_dt = min(inline_dt, time.perf_counter() - t0)
+    inline_segs = WIDTH * HEIGHT * DEPTH / inline_dt
+
     print(json.dumps({
         "metric": "cornell_800x800_depth8_fwdbwd_path_segments_per_s",
         "value": round(segs_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(segs_per_s / ROUND1_BASELINE_FWDBWD, 4),
+        "scanned_ms_per_step": round(dt * 1e3 / TIMED_STEPS, 2),
+        "inline_ms_per_step": round(inline_dt * 1e3, 2),
+        "inline_segs_per_s": round(inline_segs, 1),
     }))
     return 0
 
