@@ -36,15 +36,18 @@ triangle table).
 
 Layout (host-collapsed from the binned-SAH binary tree of scene/bvh.py):
   nodes_f [B8, 72] f32 — child c occupies cols [6c, 6c+6) = lo.xyz, hi.xyz;
-                          empty slots hold an inverted box (+BIG, -BIG);
+                          empty slots hold NaN boxes (all slab compares
+                          false, so they never vote);
                           col 64: ordered-pop threshold (midpoint of the
                           child centers' spread along the sort axis);
                           cols 65-71 pad;
-  nodes_i [B8, 24] i32 — col c: interior child's node row (-1 if not
-                          interior); col 8+c: leaf meta = start*32+count
-                          (-1 if not a leaf); col 16: child sort axis
-                          0/1/2 (cols 17-23 spare). A slot with both -1
-                          is empty.
+  nodes_i [B8, 24] i32 — col c: child c's PRE-ENCODED stack entry (the
+                          build-time form of what the kernel would push:
+                          node row if interior, -(start*32+count)-2 if
+                          leaf, 0 for empty slots — empty slots hold
+                          NaN boxes so they can never win the slab vote,
+                          making a validity field unnecessary);
+                          col 16: child sort axis 0/1/2 (17-23 spare).
   tris    [T+1, 24] f32 — identical row format to ops/pallas_bvh.py.
 
 Traversal: a scalar stack in SMEM holds encoded entries — v >= 0 is an
@@ -223,14 +226,17 @@ def pack_mesh8(meshes: T.MeshBundle, mesh_index: int = 0) -> PackedMesh8:
         ii[16] = axis
         centers = [0.5 * float(lo[k][axis] + hi[k][axis]) for k in kids]
         f[64] = 0.5 * (centers[0] + centers[-1])  # centroid-vote threshold
+        ii[:16] = 0
         for c, k in enumerate(kids):
             f[6 * c: 6 * c + 3] = lo[k]
             f[6 * c + 3: 6 * c + 6] = hi[k]
             if is_fat_leaf(k):
-                ii[8 + c] = leaf_meta(k)
+                ii[c] = -leaf_meta(k) - 2
         for c in range(len(kids), WIDTH):
-            f[6 * c: 6 * c + 3] = BIG
-            f[6 * c + 3: 6 * c + 6] = -BIG
+            # NaN box: every slab comparison is false, so an empty slot
+            # can never win the vote (an inverted +/-BIG box would — the
+            # min/max slab test normalizes interval order)
+            f[6 * c: 6 * c + 6] = np.nan
         for c, k in enumerate(kids):
             if not is_fat_leaf(k):
                 ii[c] = build(k, depth + 1)
@@ -240,12 +246,12 @@ def pack_mesh8(meshes: T.MeshBundle, mesh_index: int = 0) -> PackedMesh8:
         # whole mesh is a single binary leaf: one 8-wide node, one leaf slot
         f = np.zeros(72, np.float32)
         ii = np.full(24, -1, np.int32)
+        ii[:16] = 0
         ii[16] = 0
         f[0:3], f[3:6] = lo[0], hi[0]
         for c in range(1, WIDTH):
-            f[6 * c: 6 * c + 3] = BIG
-            f[6 * c + 3: 6 * c + 6] = -BIG
-        ii[8] = int(start[0]) * 32 + int(count[0])
+            f[6 * c: 6 * c + 6] = np.nan
+        ii[0] = -(int(start[0]) * 32 + int(count[0])) - 2
         nodes_f_rows.append(f)
         nodes_i_rows.append(ii)
         max_depth = 1
@@ -434,94 +440,107 @@ def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB,
                 do_leaf_p, do_leaf, lambda a: a,
                 (t_best, nx, ny, nz, uu, vv, tri))
 
-            safe = jnp.maximum(entry, 0)
-            rowf = nodes_f_ref[safe]       # [72] one wide row load
-            rowi = nodes_i_ref[safe]       # [24]
+            int_active = is_int & active
 
-            # Slab-test all 8 children, bit-packing the lane masks so the
-            # expensive vector->scalar reduction happens 3x instead of 8x:
-            # each child's mask is first sum-reduced over the SUBLANE axis
-            # (cheap, stays vector-shaped) and binarized to one bit per
-            # lane column, so child c occupies a 9-bit field (column count
-            # <= 128 fits) in one of three [1, LANES] int32 accumulators;
-            # one sum-reduce per accumulator then yields all per-child
-            # any-lane-hit counts.
-            accs = [jnp.zeros((1, LANES), jnp.int32) for _ in range(3)]
-            for c in range(WIDTH):
-                lox, loy, loz = rowf[6 * c], rowf[6 * c + 1], rowf[6 * c + 2]
-                hix, hiy, hiz = (rowf[6 * c + 3], rowf[6 * c + 4],
-                                 rowf[6 * c + 5])
-                t1x = (lox - qox[s]) * idx[s]
-                t2x = (hix - qox[s]) * idx[s]
-                t1y = (loy - qoy[s]) * idy[s]
-                t2y = (hiy - qoy[s]) * idy[s]
-                t1z = (loz - qoz[s]) * idz[s]
-                t2z = (hiz - qoz[s]) * idz[s]
-                tmin = jnp.maximum(jnp.minimum(t1x, t2x),
-                                   jnp.maximum(jnp.minimum(t1y, t2y),
-                                               jnp.minimum(t1z, t2z)))
-                tmax = jnp.minimum(jnp.maximum(t1x, t2x),
-                                   jnp.minimum(jnp.maximum(t1y, t2y),
-                                               jnp.maximum(t1z, t2z)))
-                # `t_best > 0` deadens sentinel lanes (t_bound <= 0: pads
-                # and terminated paths) exactly — without it a box that
-                # straddles a dead lane's origin can give tmin < -1 and
-                # leak a vote into the packet union.
-                lane_hit = ((tmax >= tmin) & (tmax > 0) & (tmin < t_best)
-                            & (t_best > 0))
-                col = jnp.sum(lane_hit.astype(jnp.int32), axis=0,
-                              keepdims=True)            # [1, LANES] <= sub
-                bit = (col > 0).astype(jnp.int32)
-                accs[c % 3] = accs[c % 3] + (bit << (9 * (c // 3)))
-            sums = [jnp.sum(a) for a in accs]  # 3 scalar reductions
+            def do_interior(sp_in):
+                # Only interior pops pay for the row loads, slab tests,
+                # reductions, and push chain. Fat leaves make LEAF pops the
+                # majority of all pops, so gating this whole phase (rather
+                # than just the pushes) removes most of the per-pop scalar
+                # cost on the majority path.
+                safe = jnp.maximum(entry, 0)
+                rowf = nodes_f_ref[safe]       # [72] one wide row load
+                rowi = nodes_i_ref[safe]       # [24]
 
-            pushes = []
-            encs = []
-            for c in range(WIDTH):
-                hit_count = (sums[c % 3] >> (9 * (c // 3))) & 0x1FF
-                cid = rowi[c]
-                cmeta = rowi[8 + c]
-                valid = (cid >= 0) | (cmeta >= 0)
-                push = (hit_count > 0) & is_int & active & valid
-                encs.append(jnp.where(cid >= 0, cid, -cmeta - 2))
-                pushes.append(push.astype(jnp.int32))
+                # Slab-test all 8 children, bit-packing the lane masks so
+                # the expensive vector->scalar reduction happens 3x instead
+                # of 8x: each child's mask is first sum-reduced over the
+                # SUBLANE axis (cheap, stays vector-shaped) and binarized
+                # to one bit per lane column, so child c occupies a 9-bit
+                # field (column count <= 128 fits) in one of three
+                # [1, LANES] int32 accumulators; one sum-reduce per
+                # accumulator then yields all per-child any-lane-hit
+                # counts.
+                accs = [jnp.zeros((1, LANES), jnp.int32) for _ in range(3)]
+                for c in range(WIDTH):
+                    lox, loy, loz = (rowf[6 * c], rowf[6 * c + 1],
+                                     rowf[6 * c + 2])
+                    hix, hiy, hiz = (rowf[6 * c + 3], rowf[6 * c + 4],
+                                     rowf[6 * c + 5])
+                    t1x = (lox - qox[s]) * idx[s]
+                    t2x = (hix - qox[s]) * idx[s]
+                    t1y = (loy - qoy[s]) * idy[s]
+                    t2y = (hiy - qoy[s]) * idy[s]
+                    t1z = (loz - qoz[s]) * idz[s]
+                    t2z = (hiz - qoz[s]) * idz[s]
+                    tmin = jnp.maximum(jnp.minimum(t1x, t2x),
+                                       jnp.maximum(jnp.minimum(t1y, t2y),
+                                                   jnp.minimum(t1z, t2z)))
+                    tmax = jnp.minimum(jnp.maximum(t1x, t2x),
+                                       jnp.minimum(jnp.maximum(t1y, t2y),
+                                                   jnp.maximum(t1z, t2z)))
+                    # `t_best > 0` deadens sentinel lanes (t_bound <= 0:
+                    # pads and terminated paths) exactly — without it a box
+                    # that straddles a dead lane's origin can give
+                    # tmin < -1 and leak a vote into the packet union.
+                    lane_hit = ((tmax >= tmin) & (tmax > 0)
+                                & (tmin < t_best) & (t_best > 0))
+                    col = jnp.sum(lane_hit.astype(jnp.int32), axis=0,
+                                  keepdims=True)        # [1, LANES] <= sub
+                    bit = (col > 0).astype(jnp.int32)
+                    accs[c % 3] = accs[c % 3] + (bit << (9 * (c // 3)))
+                sums = [jnp.sum(a) for a in accs]  # 3 scalar reductions
 
-            def push_loop(order):
-                def run(newsp):
-                    for c in order:
-                        # Unconditional store into the first dead slot;
-                        # only a push advances newsp, so non-pushed stores
-                        # are overwritten or fall beyond the live stack.
-                        stack_ref[s, newsp] = encs[c]
-                        newsp = newsp + pushes[c]
-                    return newsp
-                return run
+                # Child encodings are precomputed at build time (nodes_i
+                # cols 0-7 hold exactly the value to push); empty slots
+                # hold NaN boxes so hit_count is 0 there — no validity
+                # check.
+                pushes = []
+                encs = []
+                for c in range(WIDTH):
+                    hit_count = (sums[c % 3] >> (9 * (c // 3))) & 0x1FF
+                    push = hit_count > 0
+                    encs.append(rowi[c])
+                    pushes.append(push.astype(jnp.int32))
 
-            if ordered:
-                # Children are build-sorted ascending along rowi[16]; pops
-                # are LIFO, so push far-first: ascending slot order when
-                # the near side is the HIGH end, descending when it is the
-                # low end. ~6 scalar ops + a branch per step.
-                axis = rowi[16]
-                if ordered == "dir":
-                    rev = ((axis == 0) & votes[s][0]
-                           | (axis == 1) & votes[s][1]
-                           | (axis == 2) & votes[s][2])
-                else:
-                    thr = rowf[64]
-                    ca = jnp.where(axis == 0, votes[s][0],
-                                   jnp.where(axis == 1, votes[s][1],
-                                             votes[s][2]))
-                    # rev pushes slots 7..0 so slot 0 (lowest center) pops
-                    # first — choose it when the origin cluster is at the
-                    # LOW end of the child spread
-                    rev = ca < thr
-                newsp = jax.lax.cond(
-                    rev, push_loop(range(WIDTH - 1, -1, -1)),
-                    push_loop(range(WIDTH)), sp1)
-            else:
-                newsp = push_loop(range(WIDTH))(sp1)
+                def push_loop(order):
+                    def run(newsp):
+                        for c in order:
+                            # Unconditional store into the first dead
+                            # slot; only a push advances newsp, so
+                            # non-pushed stores are overwritten or fall
+                            # beyond the live stack.
+                            stack_ref[s, newsp] = encs[c]
+                            newsp = newsp + pushes[c]
+                        return newsp
+                    return run
 
+                if ordered:
+                    # Children are build-sorted ascending along rowi[16];
+                    # pops are LIFO, so push far-first: ascending slot
+                    # order when the near side is the HIGH end, descending
+                    # when it is the low end. ~6 scalar ops + a branch per
+                    # step.
+                    axis = rowi[16]
+                    if ordered == "dir":
+                        rev = ((axis == 0) & votes[s][0]
+                               | (axis == 1) & votes[s][1]
+                               | (axis == 2) & votes[s][2])
+                    else:
+                        thr = rowf[64]
+                        ca = jnp.where(axis == 0, votes[s][0],
+                                       jnp.where(axis == 1, votes[s][1],
+                                                 votes[s][2]))
+                        # rev pushes slots 7..0 so slot 0 (lowest center)
+                        # pops first — choose it when the origin cluster
+                        # is at the LOW end of the child spread
+                        rev = ca < thr
+                    return jax.lax.cond(
+                        rev, push_loop(range(WIDTH - 1, -1, -1)),
+                        push_loop(range(WIDTH)), sp_in)
+                return push_loop(range(WIDTH))(sp_in)
+
+            newsp = jax.lax.cond(int_active, do_interior, lambda x: x, sp1)
             newsp = jnp.where(active, newsp, 0)
             return (newsp, t_best, nx, ny, nz, uu, vv, tri)
 

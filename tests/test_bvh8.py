@@ -45,7 +45,8 @@ def _aimed_rays(n, seed=0):
 
 def test_leaf_metas_cover_all_triangles_once(blob, packed8):
     ni = np.asarray(packed8.nodes_i)
-    metas = ni[:, 8:16][ni[:, 8:16] >= 0]
+    encs = ni[:, 0:8]
+    metas = -encs[encs <= -2] - 2  # leaf encodings are -(meta)-2
     n_tris = np.asarray(packed8.tris).shape[0] - 1  # minus pad row
     cover = np.zeros(n_tris, np.int32)
     for meta in metas:
