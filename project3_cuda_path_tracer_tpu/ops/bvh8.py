@@ -29,6 +29,20 @@ Measured on v5e (blob 81920 tris, 1024x1024 depth 8, vs the binary kernel's
 The lesson for every packet kernel on this hardware: vector->scalar
 reductions are the scarcest resource in a Mosaic while_loop — batch them.
 
+Round-2 postscript, after microbenching the loop's parts in isolation
+(tools/exp_extract_cost.py, exp_r2_batch7.py): at 3 reductions the kernel
+is VECTOR-THROUGHPUT bound, not scalar bound — dynamic row loads pipeline
+(fusing nodes_f+nodes_i into one row measured neutral), a 7-rotate OR-fold
+replacing the 3 sums measured 36% WORSE (pltpu.roll is not cheap), and
+multi-stream interleaving is neutral (Mosaic does not overlap the
+streams' chains). What did win: shrinking the per-pop vector work —
+WIDE_LEAF_K 15 -> 8 (blob 431 -> 390 ms/iter, textured 519 -> 469).
+The deep inefficiency is incoherence itself: each pop's [sub, 128] vector
+work serves only the few lanes that actually want that node (sim:
+tools/exp_rebin_sim.py), and physical re-binning to fix it costs more in
+XLA gathers than it saves (measured round 1; per-lane-column binning sim
+gain was only ~1.3x at the depth that dominates).
+
 Fills the same reference TODO as ops/pallas_bvh.py (mesh + acceleration
 structure, reference: src/pathtrace.cu:188,308-309); produced images are
 identical to the binary path (same nearest-hit semantics over the same
@@ -95,14 +109,15 @@ STACK = 128        # SMEM stack entries (512 bytes); builder asserts it fits
 # packets amortize the per-step scalar cost until union growth wins.
 SUB8 = 16
 # Fat leaves: a whole binary SUBTREE whose triangles (contiguous in the
-# DFS perm order) number <= WIDE_LEAF_K becomes ONE leaf child. Leaf pops
-# dominate the step count once interiors are 8-wide; doubling the tris per
-# pop halves the scalar-bound pop count for ~2x more (cheap) vector work.
-WIDE_LEAF_K = 15   # meta = start*32 + count (encoding allows up to 31, but
-                   # the leaf-31 A/B measured a regression on both mesh
-                   # configs — blob 720 -> 787 ms/iter — the 31-wide
-                   # Moller-Trumbore unroll adds more vector time per pop
-                   # than the halved pop count saves; 15 is the optimum)
+# DFS perm order) number <= WIDE_LEAF_K becomes ONE leaf child.
+WIDE_LEAF_K = 8    # meta = start*32 + count (encoding allows up to 31).
+# Swept on v5e across rounds: 31 regressed (blob 720 -> 787 ms/iter),
+# 15 -> 9 -> 8 monotonically improved (431 -> 400 -> 390 ms/iter blob,
+# 519 -> 477 -> 469 textured_env_proc): the kernel is VECTOR-throughput
+# bound on wasted lanes (incoherent packets want few tris per leaf pop),
+# so the ~80-op Moller-Trumbore+interp unroll per tri costs more than the
+# extra pops a shallower merge causes. 8 = the binary SAH leaf max
+# (ops/intersect.LEAF_K), i.e. the merge only fuses single-leaf subtrees.
 
 
 class PackedMesh8(NamedTuple):
@@ -110,6 +125,11 @@ class PackedMesh8(NamedTuple):
     nodes_f: jnp.ndarray   # [B8, 64] f32
     nodes_i: jnp.ndarray   # [B8, 16] i32
     tris: jnp.ndarray      # [T+1, TRI_ROW] f32
+    # Fused all-f32 node row (one aligned [128] load per interior pop
+    # instead of nodes_f + nodes_i): cols 0-47 child boxes, 48-55 child
+    # stack encodings stored as f32 (exact below 2^24 — builder asserts),
+    # 56 sort axis, 57 centroid threshold. Default traversal input.
+    nodes: jnp.ndarray = None  # [B8, 128] f32
 
     @property
     def vmem_bytes(self) -> int:
@@ -271,10 +291,23 @@ def pack_mesh8(meshes: T.MeshBundle, mesh_index: int = 0) -> PackedMesh8:
         f"BVH8 worst-case stack {bound} exceeds kernel STACK={STACK} "
         f"(tree depth {max_depth}); raise STACK in ops/bvh8.py")
 
+    nf = np.stack(nodes_f_rows)
+    ni = np.stack(nodes_i_rows)
+    # Fused row: all-f32 so one aligned [128] vector load serves the whole
+    # interior phase (two dynamic row loads per pop measured additive in
+    # the Mosaic while loop — tools/exp_extract_cost.py).
+    assert np.abs(ni[:, :8].astype(np.int64)).max(initial=0) < (1 << 24), \
+        "child stack encoding exceeds f32 exact-integer range"
+    fused = np.zeros((nf.shape[0], 128), np.float32)
+    fused[:, 0:48] = nf[:, 0:48]
+    fused[:, 48:56] = ni[:, :8].astype(np.float32)
+    fused[:, 56] = ni[:, 16].astype(np.float32)
+    fused[:, 57] = nf[:, 64]
     return PackedMesh8(
-        nodes_f=jnp.asarray(np.stack(nodes_f_rows)),
-        nodes_i=jnp.asarray(np.stack(nodes_i_rows)),
-        tris=jnp.asarray(_pack_tris(meshes, t0, t1)))
+        nodes_f=jnp.asarray(nf),
+        nodes_i=jnp.asarray(ni),
+        tris=jnp.asarray(_pack_tris(meshes, t0, t1)),
+        nodes=jnp.asarray(fused))
 
 
 def pack_all8(meshes: T.MeshBundle):
@@ -294,7 +327,8 @@ def enable_wide_bvh(scene) -> None:
 
 
 def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB,
-                      ordered: str = "centroid", streams: int = 1):
+                      ordered: str = "centroid", streams: int = 1,
+                      fused: bool = False, reduce_mode: str = "sum3"):
     """Kernel body: stack-based 8-wide traversal, `streams` independent
     packets per grid step.
 
@@ -313,9 +347,13 @@ def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB,
     """
 
     def kernel(qox_ref, qoy_ref, qoz_ref, qdx_ref, qdy_ref, qdz_ref,
-               tmax_ref, nodes_f_ref, nodes_i_ref, tris_ref,
-               t_ref, nx_ref, ny_ref, nz_ref, u_ref, v_ref, tri_ref,
-               steps_ref, stack_ref):
+               tmax_ref, *rest):
+        if fused:
+            (nodes_ref, tris_ref, t_ref, nx_ref, ny_ref, nz_ref, u_ref,
+             v_ref, tri_ref, steps_ref, stack_ref) = rest
+        else:
+            (nodes_f_ref, nodes_i_ref, tris_ref, t_ref, nx_ref, ny_ref,
+             nz_ref, u_ref, v_ref, tri_ref, steps_ref, stack_ref) = rest
         S = streams
 
         def rows(ref, s):
@@ -449,8 +487,15 @@ def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB,
                 # than just the pushes) removes most of the per-pop scalar
                 # cost on the majority path.
                 safe = jnp.maximum(entry, 0)
-                rowf = nodes_f_ref[safe]       # [72] one wide row load
-                rowi = nodes_i_ref[safe]       # [24]
+                if fused:
+                    # one aligned [128] row load serves boxes, encodings
+                    # (f32-exact ints), sort axis, and threshold — the
+                    # second row load measured additive (not overlapped)
+                    # in the while-loop chain (tools/exp_extract_cost.py)
+                    rowf = nodes_ref[safe]
+                else:
+                    rowf = nodes_f_ref[safe]   # [72] one wide row load
+                    rowi = nodes_i_ref[safe]   # [24]
 
                 # Slab-test all 8 children, bit-packing the lane masks so
                 # the expensive vector->scalar reduction happens 3x instead
@@ -462,6 +507,7 @@ def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB,
                 # accumulator then yields all per-child any-lane-hit
                 # counts.
                 accs = [jnp.zeros((1, LANES), jnp.int32) for _ in range(3)]
+                bits_vec = jnp.zeros((1, LANES), jnp.int32)
                 for c in range(WIDTH):
                     lox, loy, loz = (rowf[6 * c], rowf[6 * c + 1],
                                      rowf[6 * c + 2])
@@ -488,19 +534,37 @@ def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB,
                     col = jnp.sum(lane_hit.astype(jnp.int32), axis=0,
                                   keepdims=True)        # [1, LANES] <= sub
                     bit = (col > 0).astype(jnp.int32)
-                    accs[c % 3] = accs[c % 3] + (bit << (9 * (c // 3)))
-                sums = [jnp.sum(a) for a in accs]  # 3 scalar reductions
+                    if reduce_mode == "rollor":
+                        bits_vec = bits_vec | (bit << c)
+                    else:
+                        accs[c % 3] = accs[c % 3] + (bit << (9 * (c // 3)))
+                if reduce_mode == "rollor":
+                    # OR-fold the per-lane child bitmasks across lanes
+                    # (7 cheap vector rotates), then ONE vector->scalar
+                    # reduction yields all 8 any-lane-hit bits — replaces
+                    # the 3 packed-accumulator sums (each vector->scalar
+                    # reduction costs ~a round-trip in the loop's serial
+                    # chain, tools/exp_extract_cost.py).
+                    for sh in (1, 2, 4, 8, 16, 32, 64):
+                        bits_vec = bits_vec | pltpu.roll(bits_vec, sh, 1)
+                    mask = jnp.max(bits_vec)
+                else:
+                    sums = [jnp.sum(a) for a in accs]  # 3 scalar reductions
 
-                # Child encodings are precomputed at build time (nodes_i
-                # cols 0-7 hold exactly the value to push); empty slots
-                # hold NaN boxes so hit_count is 0 there — no validity
-                # check.
+                # Child encodings are precomputed at build time (cols 0-7
+                # of nodes_i / cols 48-55 of the fused row hold exactly the
+                # value to push); empty slots hold NaN boxes so hit_count
+                # is 0 there — no validity check.
                 pushes = []
                 encs = []
                 for c in range(WIDTH):
-                    hit_count = (sums[c % 3] >> (9 * (c // 3))) & 0x1FF
-                    push = hit_count > 0
-                    encs.append(rowi[c])
+                    if reduce_mode == "rollor":
+                        push = ((mask >> c) & 1) > 0
+                    else:
+                        hit_count = (sums[c % 3] >> (9 * (c // 3))) & 0x1FF
+                        push = hit_count > 0
+                    encs.append(jnp.int32(rowf[48 + c]) if fused
+                                else rowi[c])
                     pushes.append(push.astype(jnp.int32))
 
                 def push_loop(order):
@@ -516,18 +580,18 @@ def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB,
                     return run
 
                 if ordered:
-                    # Children are build-sorted ascending along rowi[16];
-                    # pops are LIFO, so push far-first: ascending slot
-                    # order when the near side is the HIGH end, descending
-                    # when it is the low end. ~6 scalar ops + a branch per
-                    # step.
-                    axis = rowi[16]
+                    # Children are build-sorted ascending along the sort
+                    # axis; pops are LIFO, so push far-first: ascending
+                    # slot order when the near side is the HIGH end,
+                    # descending when it is the low end. ~6 scalar ops +
+                    # a branch per step.
+                    axis = jnp.int32(rowf[56]) if fused else rowi[16]
                     if ordered == "dir":
                         rev = ((axis == 0) & votes[s][0]
                                | (axis == 1) & votes[s][1]
                                | (axis == 2) & votes[s][2])
                     else:
-                        thr = rowf[64]
+                        thr = rowf[57] if fused else rowf[64]
                         ca = jnp.where(axis == 0, votes[s][0],
                                        jnp.where(axis == 1, votes[s][1],
                                                  votes[s][2]))
@@ -570,10 +634,11 @@ def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB,
 
 @functools.partial(jax.jit,
                    static_argnames=("leaf_k", "max_steps", "interpret",
-                                    "sub", "ordered", "streams"))
-def _traverse8(qo_planes, qd_planes, t_bound, nodes_f, nodes_i, tris,
+                                    "sub", "ordered", "streams", "fused",
+                                    "reduce_mode"))
+def _traverse8(qo_planes, qd_planes, t_bound, node_arrays, tris,
                leaf_k, max_steps, interpret, sub, ordered="centroid",
-               streams=1):
+               streams=1, fused=False, reduce_mode="sum3"):
     n = qo_planes[0].shape[0]
     group = streams * sub * LANES
     assert n % group == 0
@@ -589,11 +654,12 @@ def _traverse8(qo_planes, qd_planes, t_bound, nodes_f, nodes_i, tris,
     plane_f = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     plane_i = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
 
-    kernel = _traverse8_kernel(leaf_k, max_steps, sub, ordered, streams)
+    kernel = _traverse8_kernel(leaf_k, max_steps, sub, ordered, streams,
+                               fused, reduce_mode)
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[block] * 7 + [full, full, full],
+        in_specs=[block] * 7 + [full] * (len(node_arrays) + 1),
         out_specs=(block,) * 7 + (
             pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),),
@@ -605,21 +671,24 @@ def _traverse8(qo_planes, qd_planes, t_bound, nodes_f, nodes_i, tris,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*(as2d(p) for p in qo_planes), *(as2d(p) for p in qd_planes),
-      as2d(t_bound), nodes_f, nodes_i, tris)
+      as2d(t_bound), *node_arrays, tris)
     return tuple(o.reshape(-1) for o in outs[:7]) + (outs[7],)
 
 
 def traverse_packets8(qo, qd, packed: PackedMesh8, leaf_k: int = WIDE_LEAF_K,
                       max_steps: int = 2 ** 20, t_bound=None,
                       sub: int = SUB8, ordered: str = "centroid",
-                      streams: int = 1, return_steps: bool = False):
+                      streams: int = 1, return_steps: bool = False,
+                      fused: bool = False, reduce_mode: str = "sum3"):
     """Nearest-hit over the 8-wide packed mesh; drop-in signature/return
     match for ops/pallas_bvh.traverse_packets (t_obj, (nx,ny,nz), u, v,
     tri with -1 = miss). `sub`*128 rays share one cursor+stack.
     `ordered` picks the near-to-far pop vote ("dir", "centroid", or False
     for build order); `streams` packets run interleaved per kernel
     instance (latency hiding). `return_steps` appends the per-group
-    pop-count diagnostic [grid]."""
+    pop-count diagnostic [grid]. `fused` loads one all-f32 node row per
+    interior pop (vs separate f32+i32 rows); `reduce_mode` "rollor" votes
+    via a lane OR-fold + one reduction (vs "sum3" packed sums)."""
     n = qo[0].shape[0]
     if t_bound is None:
         t_bound = jnp.full((n,), BIG, jnp.float32)
@@ -639,9 +708,14 @@ def traverse_packets8(qo, qd, packed: PackedMesh8, leaf_k: int = WIDE_LEAF_K,
         t_bound = jnp.concatenate(
             [t_bound, jnp.full((pad,), -1.0, jnp.float32)])
     interpret = jax.default_backend() == "cpu"
+    if packed.nodes is None:     # packed before the fused layout existed
+        fused = False
+    node_arrays = ((packed.nodes,) if fused
+                   else (packed.nodes_f, packed.nodes_i))
     t, nx, ny, nz, u, v, tri, steps = _traverse8(
-        tuple(qo), tuple(qd), t_bound, packed.nodes_f, packed.nodes_i,
-        packed.tris, leaf_k, max_steps, interpret, sub, ordered, streams)
+        tuple(qo), tuple(qd), t_bound, node_arrays,
+        packed.tris, leaf_k, max_steps, interpret, sub, ordered, streams,
+        fused, reduce_mode)
     if pad:
         t, nx, ny, nz = t[:n], nx[:n], ny[:n], nz[:n]
         u, v, tri = u[:n], v[:n], tri[:n]
