@@ -488,14 +488,8 @@ def _mat_select(table: jnp.ndarray, mat_id: jnp.ndarray):
     return V3(*accs)
 
 
-def _sample_texture_planar(textures: T.Textures, mat_id, u, v,
-                           base: V3) -> V3:
-    """Nearest-neighbor atlas fetch as three 1-D takes on [Ha*Wa] planes.
-
-    The row-based version ([N,3]-output 2-D fancy indexing) lowers to a
-    gather whose result carries the length-3 lane axis — planar flat takes
-    are the fast form of the same random access."""
-    m_count = textures.rect.shape[0]
+def _atlas_flat_index(textures: T.Textures, mat_id, u, v):
+    """(flat texel index [N] int32, textured mask) for the atlas fetch."""
     rect = textures.rect
     # unrolled per-material rect select (static M, no [N] gathers)
     rx = _mat_select(rect[:, 0].astype(jnp.float32), mat_id)
@@ -512,47 +506,73 @@ def _sample_texture_planar(textures: T.Textures, mat_id, u, v,
     ha, wa = textures.atlas.shape[0], textures.atlas.shape[1]
     flat = (jnp.clip(yi, 0, ha - 1) * wa
             + jnp.clip(xi, 0, wa - 1)).astype(jnp.int32)
-    if textures.atlas_packed.shape[0] == ha * wa:
-        # single-gather path: one u32 take + elementwise R8G8B8 unpack
-        # (bitwise identical to the three f32 takes — utils/image.pack_rgb8)
-        p = jnp.take(textures.atlas_packed, flat).astype(jnp.int32)
-        ax = (p & 0xFF).astype(jnp.float32) / 255.0
-        ay = ((p >> 8) & 0xFF).astype(jnp.float32) / 255.0
-        az = ((p >> 16) & 0xFF).astype(jnp.float32) / 255.0
-    else:
-        ax = jnp.take(textures.atlas[:, :, 0].reshape(-1), flat)
-        ay = jnp.take(textures.atlas[:, :, 1].reshape(-1), flat)
-        az = jnp.take(textures.atlas[:, :, 2].reshape(-1), flat)
-    textured = tid >= 0
-    return vec.where(textured, V3(ax, ay, az), base)
+    return flat, tid >= 0
 
 
-def _sample_env_planar(textures: T.Textures, d: V3) -> V3:
-    """Equirect environment fetch as three 1-D takes (see above)."""
+def _unpack_rgb8(p) -> V3:
+    """R8G8B8 u32 texel -> linear f32 RGB (bitwise identical to the three
+    f32 takes — utils/image.pack_rgb8)."""
+    p = p.astype(jnp.int32)
+    return V3((p & 0xFF).astype(jnp.float32) / 255.0,
+              ((p >> 8) & 0xFF).astype(jnp.float32) / 255.0,
+              ((p >> 16) & 0xFF).astype(jnp.float32) / 255.0)
+
+
+def _env_flat_index(textures: T.Textures, d: V3):
+    """Flat equirect texel index [N] int32 for the environment fetch."""
     he, we = textures.env.shape[0], textures.env.shape[1]
     u = 0.5 + jnp.arctan2(d.x, -d.z) / (2.0 * jnp.pi)
     v = jnp.arccos(jnp.clip(d.y, -1.0, 1.0)) / jnp.pi
     xi = jnp.clip((u * we).astype(jnp.int32), 0, we - 1)
     yi = jnp.clip((v * he).astype(jnp.int32), 0, he - 1)
-    flat = yi * we + xi
+    return yi * we + xi
+
+
+def _unpack_rgbe(p, scale) -> V3:
+    """Radiance RGBE u32 texel -> linear f32 RGB (bitwise identical to the
+    three f32 takes — utils/image.pack_rgbe)."""
+    ex = ((p >> 24) & 0xFF).astype(jnp.int32)
+    p = p.astype(jnp.int32)
+    # 2^(ex-136) built exactly by bit-constructing the f32 exponent
+    # field (hardware exp2 is an approximation); the biased exponent
+    # ex-9 is clamped to the normal range — the load-time roundtrip
+    # guard (scene/parser.py) falls back to the f32 planes for any
+    # asset with sub-2^-126 radiance texels.
+    pot = jax.lax.bitcast_convert_type(
+        jnp.clip(ex - 9, 1, 254) << 23, jnp.float32)
+    s = jnp.where(ex > 0, pot, 0.0) * scale
+    return V3(((p & 0xFF).astype(jnp.float32) + 0.5) * s,
+              (((p >> 8) & 0xFF).astype(jnp.float32) + 0.5) * s,
+              (((p >> 16) & 0xFF).astype(jnp.float32) + 0.5) * s)
+
+
+def _sample_texture_planar(textures: T.Textures, mat_id, u, v,
+                           base: V3) -> V3:
+    """Nearest-neighbor atlas fetch as three 1-D takes on [Ha*Wa] planes.
+
+    The row-based version ([N,3]-output 2-D fancy indexing) lowers to a
+    gather whose result carries the length-3 lane axis — planar flat takes
+    are the fast form of the same random access."""
+    flat, textured = _atlas_flat_index(textures, mat_id, u, v)
+    ha, wa = textures.atlas.shape[0], textures.atlas.shape[1]
+    if textures.atlas_packed.shape[0] == ha * wa:
+        # single-gather path: one u32 take + elementwise R8G8B8 unpack
+        rgb = _unpack_rgb8(jnp.take(textures.atlas_packed, flat))
+    else:
+        rgb = V3(jnp.take(textures.atlas[:, :, 0].reshape(-1), flat),
+                 jnp.take(textures.atlas[:, :, 1].reshape(-1), flat),
+                 jnp.take(textures.atlas[:, :, 2].reshape(-1), flat))
+    return vec.where(textured, rgb, base)
+
+
+def _sample_env_planar(textures: T.Textures, d: V3) -> V3:
+    """Equirect environment fetch as three 1-D takes (see above)."""
+    he, we = textures.env.shape[0], textures.env.shape[1]
+    flat = _env_flat_index(textures, d)
     scale = textures.env_enabled
     if textures.env_packed.shape[0] == he * we:
         # single-gather path: one u32 take + elementwise RGBE unpack
-        # (bitwise identical to the three f32 takes — utils/image.pack_rgbe)
-        p = jnp.take(textures.env_packed, flat)
-        ex = ((p >> 24) & 0xFF).astype(jnp.int32)
-        p = p.astype(jnp.int32)
-        # 2^(ex-136) built exactly by bit-constructing the f32 exponent
-        # field (hardware exp2 is an approximation); the biased exponent
-        # ex-9 is clamped to the normal range — the load-time roundtrip
-        # guard (scene/parser.py) falls back to the f32 planes for any
-        # asset with sub-2^-126 radiance texels.
-        pot = jax.lax.bitcast_convert_type(
-            jnp.clip(ex - 9, 1, 254) << 23, jnp.float32)
-        s = jnp.where(ex > 0, pot, 0.0) * scale
-        return V3(((p & 0xFF).astype(jnp.float32) + 0.5) * s,
-                  (((p >> 8) & 0xFF).astype(jnp.float32) + 0.5) * s,
-                  (((p >> 16) & 0xFF).astype(jnp.float32) + 0.5) * s)
+        return _unpack_rgbe(jnp.take(textures.env_packed, flat), scale)
     return V3(jnp.take(textures.env[:, :, 0].reshape(-1), flat) * scale,
               jnp.take(textures.env[:, :, 1].reshape(-1), flat) * scale,
               jnp.take(textures.env[:, :, 2].reshape(-1), flat) * scale)
@@ -594,8 +614,33 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
     scenes that don't use them skip the work entirely."""
     mat_id = hit.mat_id
     albedo = _mat_select(materials.color, mat_id)
-    # texture override (skipped entirely for untextured scenes — static shape)
-    if textures.atlas.shape[0] > 1 or textures.atlas.shape[1] > 1:
+
+    has_atlas = textures.atlas.shape[0] > 1 or textures.atlas.shape[1] > 1
+    has_env = textures.env.shape[0] > 1 or textures.env.shape[1] > 1
+    ha, wa = textures.atlas.shape[0], textures.atlas.shape[1]
+    he, we = textures.env.shape[0], textures.env.shape[1]
+    # Fused texture+environment fetch: the atlas is read for HIT lanes and
+    # the env map for MISSED lanes — disjoint — so both ride ONE u32 take
+    # on the concatenated packed tables (random-access gathers are the
+    # scarce TPU resource: each 1-D take of the wavefront costs ~the whole
+    # rest of a bounce; this halves the per-bounce gather count). The
+    # cross-unpacked garbage (env texel RGB8-decoded on hit lanes and vice
+    # versa) lands only in values masked off below — images bit-identical.
+    fuse = (has_atlas and has_env
+            and textures.atlas_packed.shape[0] == ha * wa
+            and textures.env_packed.shape[0] == he * we)
+    env_fused = None
+    if fuse:
+        aflat, textured = _atlas_flat_index(textures, mat_id, hit.u, hit.v)
+        eflat = _env_flat_index(textures, ray_d)
+        on_env = hit.t <= 0.0
+        idx = jnp.where(on_env, eflat + ha * wa, aflat)
+        p = jnp.take(
+            jnp.concatenate([textures.atlas_packed, textures.env_packed]),
+            idx)
+        albedo = vec.where(textured & ~on_env, _unpack_rgb8(p), albedo)
+        env_fused = _unpack_rgbe(p, textures.env_enabled)
+    elif has_atlas:
         albedo = _sample_texture_planar(textures, mat_id, hit.u, hit.v,
                                         albedo)
     # procedural checker (pure elementwise — the TPU-fast texture path)
@@ -616,7 +661,9 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
     missed = ~hit_ok
 
     # env lighting only when enabled (static shape check)
-    if textures.env.shape[0] > 1 or textures.env.shape[1] > 1:
+    if env_fused is not None:
+        env = env_fused
+    elif has_env:
         env = _sample_env_planar(textures, ray_d)
     else:
         e = textures.env[0, 0] * textures.env_enabled

@@ -237,3 +237,32 @@ def test_packed_texture_planes_attached_and_bitwise():
     env_plain = wf._sample_env_planar(bare, dd)
     for a, b in zip(env_packed, env_plain):
         assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_fused_texture_env_fetch_bitwise():
+    """The fused single-take texture+env fetch (hit lanes read the atlas,
+    missed lanes the env map, one take on the concatenated u32 tables —
+    ops/wavefront.shade_planar) must render BITWISE identically to the
+    two-take path on the real textured_env scene."""
+    import dataclasses
+    import jax
+    from project3_cuda_path_tracer_tpu import load_scene
+    from project3_cuda_path_tracer_tpu.render import integrator as I
+
+    s = load_scene("scenes/textured_env.txt")
+    gt = tuple(int(t) for t in np.asarray(s.geoms.type))
+    mids = tuple(int(m) for m in np.asarray(s.geoms.mesh_id))
+    cfg = I.TraceConfig(width=32, height=32, trace_depth=3, antialias=True,
+                        geom_types=gt, mesh_ids=mids, unroll=True,
+                        glossy=True, sky=False)
+    key = jax.random.PRNGKey(7)
+    fused = I.render_radiance(s.materials, s.camera.flat(), s.geoms,
+                              s.meshes, s.textures, key, cfg,
+                              packed_meshes=s.packed_meshes)
+    bare_tex = dataclasses.replace(
+        s.textures, atlas_packed=jnp.zeros((1,), jnp.uint32),
+        env_packed=jnp.zeros((1,), jnp.uint32))
+    plain = I.render_radiance(s.materials, s.camera.flat(), s.geoms,
+                              s.meshes, bare_tex, key, cfg,
+                              packed_meshes=s.packed_meshes)
+    assert (np.asarray(fused) == np.asarray(plain)).all()
