@@ -145,9 +145,20 @@ def main(argv=None) -> int:
           file=sys.stderr)
 
     metrics.start()
-    for it in range(start_iter, st.iterations):
-        renderer.step()
-        done = it + 1
+    done = start_iter
+    while done < st.iterations:
+        # advance to the next snapshot/checkpoint boundary in one call —
+        # step_many scans iterations on device (dispatch-tax mitigation,
+        # render/integrator.py) and is stream-identical to step()-ing
+        nxt = st.iterations
+        if args.snapshot_every:
+            nxt = min(nxt, (done // args.snapshot_every + 1)
+                      * args.snapshot_every)
+        if args.checkpoint_every:
+            nxt = min(nxt, (done // args.checkpoint_every + 1)
+                      * args.checkpoint_every)
+        renderer.step_many(nxt - done)
+        done = nxt
         if args.snapshot_every and done % args.snapshot_every == 0:
             renderer.accum.block_until_ready()
             metrics.stop(done - start_iter - metrics._iters)

@@ -147,6 +147,12 @@ class ShardedRenderer:
             s.textures, key, self.cfg, s.packed_meshes)
         self.iteration += 1
 
+    def step_many(self, n: int) -> None:
+        """Advance n iterations (per-step dispatch; interface parity with
+        Renderer.step_many so callers can treat the two uniformly)."""
+        for _ in range(n):
+            self.step()
+
     def render(self, num_iterations: int, seed: Optional[int] = None):
         if seed is not None:
             self.base_key = jax.random.key(

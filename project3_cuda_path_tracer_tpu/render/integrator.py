@@ -304,6 +304,28 @@ def render_step_cached(accum, materials, cam, geoms, meshes, textures, key,
                                    packed_meshes=packed_meshes)
 
 
+@partial(jax.jit, static_argnames=("cfg", "chunk"),
+         donate_argnames=("accum",))
+def render_chunk(accum, materials, cam, geoms, meshes, textures, base_key,
+                 start_iter, cfg, chunk, packed_meshes=()):
+    """`chunk` progressive iterations in ONE device program (lax.scan).
+
+    Per-call host dispatch over a remote-attached chip costs ~25 ms once
+    any large program has run in the process (measured; BENCHMARKS.md
+    "dispatch tax") — at 800x800 that is 2-3x the render itself, so
+    production rendering scans iterations on device. Iteration i draws
+    fold_in(base_key, start_iter + i), BITWISE the sample stream the
+    step()-at-a-time path draws, so progressive results, checkpoints, and
+    resumes are identical between the two paths (tested)."""
+    def one(acc, i):
+        key = jax.random.fold_in(base_key, start_iter + i)
+        return acc + render_radiance(materials, cam, geoms, meshes,
+                                     textures, key, cfg,
+                                     packed_meshes=packed_meshes), None
+    out, _ = jax.lax.scan(one, accum, jnp.arange(chunk, dtype=jnp.int32))
+    return out
+
+
 def render_samples(scene: T.Scene, num_iterations: int,
                    seed: Optional[int] = None) -> np.ndarray:
     """Convenience: render `num_iterations` samples/pixel, return the raw
@@ -385,12 +407,38 @@ class Renderer:
                                  self.cfg, s.packed_meshes)
         self.iteration += 1
 
+    # Iterations per device program in step_many. One host dispatch costs
+    # ~25 ms over the remote-attached chip once any big program has run
+    # (the "dispatch tax", BENCHMARKS.md) — 2-3x a cornell iteration — so
+    # production rendering scans iterations on device and pays it once per
+    # chunk. 16 keeps compile time flat (the scan body is traced once).
+    CHUNK = 16
+
+    def step_many(self, n: int) -> None:
+        """Advance `n` progressive iterations, scanning them on device in
+        chunks when the config allows; bitwise-identical sample streams to
+        n calls of step() (tested)."""
+        chunkable = not (self.settings.first_bounce_cache
+                         and self._cached_first_hit() is not None)
+        if not chunkable:
+            for _ in range(n):
+                self.step()
+            return
+        s = self.scene
+        while n > 0:
+            k = min(n, self.CHUNK)
+            self.accum = render_chunk(
+                self.accum, s.materials, s.camera.flat(), s.geoms, s.meshes,
+                s.textures, self.base_key, self.iteration, self.cfg, k,
+                s.packed_meshes)
+            self.iteration += k
+            n -= k
+
     def render(self, num_iterations: int, seed: Optional[int] = None):
         if seed is not None:
             self.base_key = jax.random.key(
                 seed, impl=self.settings.rng)
-        for _ in range(num_iterations):
-            self.step()
+        self.step_many(num_iterations)
         self.accum.block_until_ready()
         return self.accum
 

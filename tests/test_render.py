@@ -170,3 +170,24 @@ def test_russian_roulette_unbiased(cornell_small):
     rr = render(cornell_small, 96, russian_roulette=True)
     assert abs(base.mean() - rr.mean()) < 0.02
     assert not np.allclose(base, rr)
+
+
+def test_step_many_stream_identical():
+    """render_chunk (scanned on-device iterations, the dispatch-tax
+    mitigation path) must draw BITWISE the same sample stream as
+    step()-at-a-time, including across chunk boundaries."""
+    from project3_cuda_path_tracer_tpu import load_scene
+    from project3_cuda_path_tracer_tpu.render.integrator import Renderer
+
+    s1 = load_scene("scenes/cornell.txt")
+    s2 = load_scene("scenes/cornell.txt")
+    for s in (s1, s2):
+        s.camera.resolution = (32, 32)
+        s.settings.trace_depth = 3
+    r1, r2 = Renderer(s1), Renderer(s2)
+    for _ in range(5):
+        r1.step()
+    r2.CHUNK = 2          # force chunk boundaries 2+2+1
+    r2.step_many(5)
+    assert r1.iteration == r2.iteration == 5
+    assert (np.asarray(r1.accum) == np.asarray(r2.accum)).all()
