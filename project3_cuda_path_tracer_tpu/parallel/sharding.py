@@ -87,6 +87,26 @@ def render_step_sharded(accum, materials, cam, geoms, meshes, textures, key,
     return accum + rad
 
 
+@partial(jax.jit, static_argnames=("cfg", "chunk"),
+         donate_argnames=("accum",))
+def render_chunk_sharded(accum, materials, cam, geoms, meshes, textures,
+                         base_key, start_iter, cfg: integ.TraceConfig,
+                         chunk, packed_meshes=()):
+    """`chunk` sharded iterations in ONE SPMD program (lax.scan) — the
+    multi-chip analogue of integrator.render_chunk: per-call dispatch over
+    a remote-attached chip costs ~25 ms once any large program has run
+    (BENCHMARKS.md "dispatch tax"), so progressive rendering scans
+    iterations on device. Iteration i draws fold_in(base_key, start_iter
+    + i), bitwise the stream step()-at-a-time draws."""
+    def one(acc, i):
+        key = jax.random.fold_in(base_key, start_iter + i)
+        rad = integ.render_radiance(materials, cam, geoms, meshes, textures,
+                                    key, cfg, packed_meshes=packed_meshes)
+        return acc + rad, None
+    out, _ = jax.lax.scan(one, accum, jnp.arange(chunk, dtype=jnp.int32))
+    return out
+
+
 class ShardedRenderer:
     """Data-parallel progressive renderer over a device mesh.
 
@@ -147,18 +167,27 @@ class ShardedRenderer:
             s.textures, key, self.cfg, s.packed_meshes)
         self.iteration += 1
 
+    # iterations per device program in step_many (see integrator.Renderer)
+    CHUNK = 16
+
     def step_many(self, n: int) -> None:
-        """Advance n iterations (per-step dispatch; interface parity with
-        Renderer.step_many so callers can treat the two uniformly)."""
-        for _ in range(n):
-            self.step()
+        """Advance n iterations, scanning them in one SPMD program per
+        chunk; bitwise-identical sample streams to n step() calls."""
+        s = self.scene
+        while n > 0:
+            k = min(n, self.CHUNK)
+            self.accum = render_chunk_sharded(
+                self.accum, s.materials, s.camera.flat(), s.geoms, s.meshes,
+                s.textures, self.base_key, self.iteration, self.cfg, k,
+                s.packed_meshes)
+            self.iteration += k
+            n -= k
 
     def render(self, num_iterations: int, seed: Optional[int] = None):
         if seed is not None:
             self.base_key = jax.random.key(
                 seed, impl=self.settings.rng)
-        for _ in range(num_iterations):
-            self.step()
+        self.step_many(num_iterations)
         self.accum.block_until_ready()
         return self.accum
 

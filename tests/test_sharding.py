@@ -81,3 +81,27 @@ def test_sharded_mesh_scene_matches_single():
     single = Renderer(s2)
     single.render(2, seed=1)
     np.testing.assert_allclose(sh.image(), single.image(), atol=1e-5)
+
+
+def test_sharded_step_many_stream_identical():
+    """render_chunk_sharded must draw the same sample stream as sharded
+    step()-at-a-time, across chunk boundaries, and keep the accumulator
+    sharded."""
+    from project3_cuda_path_tracer_tpu import load_scene
+    from project3_cuda_path_tracer_tpu.parallel.sharding import (
+        ShardedRenderer, make_mesh)
+
+    s1 = load_scene("scenes/cornell.txt")
+    s2 = load_scene("scenes/cornell.txt")
+    for s in (s1, s2):
+        s.camera.resolution = (32, 32)
+        s.settings.trace_depth = 3
+    mesh = make_mesh()
+    r1 = ShardedRenderer(s1, mesh)
+    r2 = ShardedRenderer(s2, mesh)
+    for _ in range(5):
+        r1.step()
+    r2.CHUNK = 2
+    r2.step_many(5)
+    assert r1.iteration == r2.iteration == 5
+    assert (np.asarray(r1.accum) == np.asarray(r2.accum)).all()
