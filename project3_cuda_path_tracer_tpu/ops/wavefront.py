@@ -38,7 +38,8 @@ BIG = jnp.float32(1e30)
 # ---------------------------------------------------------------------------
 
 def generate_rays_planar(cam: dict, width: int, height: int, key: jax.Array,
-                         antialias: bool = True, tile: int = 0):
+                         antialias: bool = True, tile: int = 0,
+                         dof: bool = True, motion: bool = True):
     """Primary rays as (origin V3, dir V3, time [N], pixel_index [N]).
 
     `tile` > 0 swizzles the path→pixel mapping into TxT image tiles so that
@@ -63,11 +64,15 @@ def generate_rays_planar(cam: dict, width: int, height: int, key: jax.Array,
     x = xi.astype(jnp.float32)
     y = yi.astype(jnp.float32)
 
+    # Multi-plane draws are FLAT + sliced: a [2, n] draw makes XLA slice
+    # [1, n] rows with a (1,128) tile — 1/8 sublane utilization in every
+    # consumer (same finding as the per-bounce uniforms,
+    # render/integrator.py; BENCHMARKS.md round-2 profile).
     k_aa, k_lens, k_time = jax.random.split(key, 3)
     if antialias:
-        jit_xy = jax.random.uniform(k_aa, (2, n), jnp.float32)
-        x = x + jit_xy[0]
-        y = y + jit_xy[1]
+        jit_xy = jax.random.uniform(k_aa, (2 * n,), jnp.float32)
+        x = x + jit_xy[:n]
+        y = y + jit_xy[n:]
 
     view = vec.from_rows(cam["view"])
     right = vec.from_rows(cam["right"])
@@ -82,23 +87,33 @@ def generate_rays_planar(cam: dict, width: int, height: int, key: jax.Array,
     pos = vec.from_rows(cam["position"])
     o = vec.splat((pos.x, pos.y, pos.z), like=x)
 
-    aperture = cam["aperture"]
-    focal = cam["focal_distance"]
-    u_lens = jax.random.uniform(k_lens, (2, n), jnp.float32)
-    r = jnp.sqrt(u_lens[0]) * aperture
-    phi = u_lens[1] * TWO_PI
-    lr, lu = r * jnp.cos(phi), r * jnp.sin(phi)
-    o_dof = V3(o.x + right.x * lr + up.x * lu,
-               o.y + right.y * lr + up.y * lu,
-               o.z + right.z * lr + up.z * lu)
-    f = jnp.maximum(focal, 1e-6)
-    focus = V3(o.x + d.x * f, o.y + d.y * f, o.z + d.z * f)
-    d_dof = vec.normalize(focus - o_dof)
-    use_dof = (aperture > 0.0) & (focal > 0.0)
-    o = vec.where(use_dof, o_dof, o)
-    d = vec.where(use_dof, d_dof, d)
+    # `dof` / `motion` (static) skip the thin-lens and shutter math when the
+    # scene statically has no aperture/shutter: the runtime `use_dof` select
+    # already yielded the pinhole values bitwise, but XLA still executed the
+    # sqrt/sincos/normalize on every lane. The k_aa/k_lens/k_time splits are
+    # independent, so skipping a draw does not shift the other streams —
+    # images are bitwise identical either way (tested).
+    if dof:
+        aperture = cam["aperture"]
+        focal = cam["focal_distance"]
+        u_lens = jax.random.uniform(k_lens, (2 * n,), jnp.float32)
+        r = jnp.sqrt(u_lens[:n]) * aperture
+        phi = u_lens[n:] * TWO_PI
+        lr, lu = r * jnp.cos(phi), r * jnp.sin(phi)
+        o_dof = V3(o.x + right.x * lr + up.x * lu,
+                   o.y + right.y * lr + up.y * lu,
+                   o.z + right.z * lr + up.z * lu)
+        f = jnp.maximum(focal, 1e-6)
+        focus = V3(o.x + d.x * f, o.y + d.y * f, o.z + d.z * f)
+        d_dof = vec.normalize(focus - o_dof)
+        use_dof = (aperture > 0.0) & (focal > 0.0)
+        o = vec.where(use_dof, o_dof, o)
+        d = vec.where(use_dof, d_dof, d)
 
-    times = jax.random.uniform(k_time, (n,), jnp.float32) * cam["shutter"]
+    if motion:
+        times = jax.random.uniform(k_time, (n,), jnp.float32) * cam["shutter"]
+    else:
+        times = jnp.zeros((n,), jnp.float32)
     return o, d, times, pixel_index
 
 
@@ -212,6 +227,57 @@ def _primitive_hit_planar(o: V3, d: V3, times, geoms: T.Geoms, g: int,
         n_local = V3(ip_obj.x * flip, ip_obj.y * flip, ip_obj.z * flip)
         u = 0.5 + jnp.arctan2(ip_obj.z, ip_obj.x) / (2 * jnp.pi)
         v = 0.5 + jnp.arcsin(jnp.clip(ip_obj.y / 0.5, -1.0, 1.0)) / jnp.pi
+
+    normal = vec.normalize(vec.xform_dir(inv_tr, n_local))
+    return HitP(t=jnp.where(hit, t_world, BIG), normal=normal,
+                mat_id=jnp.broadcast_to(geoms.material_id[g], t_world.shape),
+                point=ip_world, surf=sf_world, u=u, v=v, outside=outside)
+
+
+def _sdf_hit_planar(o: V3, d: V3, times, geoms: T.Geoms, g: int,
+                    kind) -> HitP:
+    """One static SDF geom vs the wavefront (reference TODO alternative
+    primitives: src/pathtrace.cu:188). Same object-space convention as
+    `_primitive_hit_planar` — transform with the inverse, march along the
+    normalized object-space direction, return WORLD-distance t
+    (src/intersections.h:87,143 semantics) — the surface just comes from
+    sphere tracing (ops/sdf.py) instead of a closed form."""
+    from . import sdf as S
+    inv = geoms.inverse_transform[g]
+    fwd = geoms.transform[g]
+    inv_tr = geoms.inverse_transpose[g]
+    params = geoms.sdf_params[g]
+    velx, vely, velz = (geoms.velocity[g, 0], geoms.velocity[g, 1],
+                        geoms.velocity[g, 2])
+
+    o_shift = V3(o.x - velx * times, o.y - vely * times, o.z - velz * times)
+    qo = vec.xform_pt(inv, o_shift)
+    qd = vec.normalize(vec.xform_dir(inv, d))
+
+    t_obj, hit, outside = S.march_local(qo, qd, kind, params)
+
+    tb = t_obj - RAY_EPS
+    ip_obj = V3(qo.x + tb * qd.x, qo.y + tb * qd.y, qo.z + tb * qd.z)
+    sf_obj = V3(qo.x + t_obj * qd.x, qo.y + t_obj * qd.y,
+                qo.z + t_obj * qd.z)
+    n_local = S.normal_local(sf_obj, kind, params)
+    # march_local flips the field for interior rays; the geometric normal
+    # must still oppose the incoming ray (interior flip like the sphere's,
+    # src/intersections.h:139-141)
+    n_local = vec.where(outside, n_local, -n_local)
+
+    ip_world = vec.xform_pt(fwd, ip_obj)
+    ip_world = V3(ip_world.x + velx * times, ip_world.y + vely * times,
+                  ip_world.z + velz * times)
+    sf_world = vec.xform_pt(fwd, sf_obj)
+    sf_world = V3(sf_world.x + velx * times, sf_world.y + vely * times,
+                  sf_world.z + velz * times)
+    t_world = vec.norm(o - ip_world)
+
+    # spherical uv from the local normal (cheap, good enough for
+    # checker/texture shading on implicit surfaces)
+    u = 0.5 + jnp.arctan2(n_local.z, n_local.x) / (2 * jnp.pi)
+    v = 0.5 + jnp.arcsin(jnp.clip(n_local.y, -1.0, 1.0)) / jnp.pi
 
     normal = vec.normalize(vec.xform_dir(inv_tr, n_local))
     return HitP(t=jnp.where(hit, t_world, BIG), normal=normal,
@@ -405,7 +471,8 @@ def intersect_planar(o: V3, d: V3, times, geoms: T.Geoms,
                      packed_meshes: tuple = (),
                      mesh_ids: Tuple[int, ...] = (),
                      differentiable_mesh: bool = False,
-                     alive=None) -> HitP:
+                     alive=None,
+                     sdf_kinds: Tuple = ()) -> HitP:
     """Nearest hit over all geoms (statically unrolled merge;
     reference loop: src/pathtrace.cu:176-199).
 
@@ -439,7 +506,12 @@ def intersect_planar(o: V3, d: V3, times, geoms: T.Geoms,
     # primitives first: their nearest hit becomes the meshes' occlusion
     # bound, letting the packet traversal prune subtrees behind known hits
     for g, gtype in enumerate(geom_types):
-        if gtype != T.MESH:
+        if gtype == T.MESH:
+            continue
+        if gtype == T.SDF:
+            best = merge(best, _sdf_hit_planar(o, d, times, geoms, g,
+                                               sdf_kinds[g]))
+        else:
             best = merge(best, _primitive_hit_planar(o, d, times, geoms, g,
                                                      gtype))
     for g, gtype in enumerate(geom_types):

@@ -143,12 +143,16 @@ class ShardedRenderer:
             ray_sharding=ray_sharding,
             geom_types=tuple(int(t) for t in types),
             mesh_ids=tuple(int(m) for m in np.asarray(scene.geoms.mesh_id)),
+            sdf_kinds=scene.sdf_kinds,
             unroll=bool(len(mesh_idx) and scene.packed_meshes),
             tile=(32 if (len(mesh_idx) and scene.packed_meshes
                          and w % 32 == 0 and h % 32 == 0) else 0),
             glossy=bool(np.any(np.asarray(
                 scene.materials.specular_exponent) > 0)),
             sky=bool(float(np.asarray(scene.textures.sky)[0]) > 0),
+            dof=bool(scene.camera.aperture > 0
+                     and scene.camera.focal_distance > 0),
+            motion=bool(scene.camera.shutter > 0),
         )
         self.base_key = jax.random.key(self.settings.seed, impl=self.settings.rng)
         self.reset()

@@ -76,6 +76,9 @@ class TraceConfig:
     # Static per-geom mesh index (into Scene.packed_meshes), -1 for
     # primitives; enables the Pallas packet BVH traversal.
     mesh_ids: Tuple[int, ...] = ()
+    # Static per-geom SDF kind triples (ops/sdf.py), (-1,-1,-1) for
+    # non-SDF geoms; () when the scene has none.
+    sdf_kinds: Tuple = ()
     # Unroll the bounce loop in Python instead of lax.scan. Required when
     # the packet-BVH pallas_call is in use: inside a while/scan body XLA
     # pins the loop-carried wavefront planes into VMEM around the custom
@@ -111,6 +114,11 @@ class TraceConfig:
     # throughput is divided by the survival probability). An extension over
     # the reference's fixed-depth loop; off by default for exact parity.
     russian_roulette: bool = False
+    # Static thin-lens / motion-blur gates (off when the scene has no
+    # APERTURE/SHUTTER): the runtime select already produced pinhole values
+    # bitwise, but XLA still ran the sqrt/sincos/normalize per lane.
+    dof: bool = True
+    motion: bool = True
 
 
 def trace_wavefront(
@@ -142,7 +150,8 @@ def trace_wavefront(
     o, d, times, pix = wf.generate_rays_planar(cam, cfg.width, cfg.height,
                                                k_gen,
                                                antialias=cfg.antialias,
-                                               tile=cfg.tile)
+                                               tile=cfg.tile,
+                                               dof=cfg.dof, motion=cfg.motion)
     if cfg.ray_sharding is not None:
         shard = lambda a: jax.lax.with_sharding_constraint(a, cfg.ray_sharding)
         o = V3(*(shard(c) for c in o))
@@ -165,7 +174,8 @@ def trace_wavefront(
                                   geoms, meshes, geom_types,
                                   packed_meshes, cfg.mesh_ids,
                                   cfg.differentiable_mesh,
-                                  alive=state.alive)
+                                  alive=state.alive,
+                                  sdf_kinds=cfg.sdf_kinds)
         if cfg.remat_save == "hits":
             from jax.ad_checkpoint import checkpoint_name
             hit = jax.tree_util.tree_map(
@@ -189,7 +199,16 @@ def trace_wavefront(
             state = compaction.apply_permutation(state, perm)
             hit = compaction.apply_permutation(hit, perm)
 
-        uniforms = jax.random.uniform(k_d, (4, n), jnp.float32)
+        # Four per-bounce uniform planes, drawn FLAT and sliced at
+        # tile-aligned offsets. The [4, n] form made XLA slice rows into
+        # [1, n] tensors with a (1,128) tile — 1/8 sublane utilization
+        # rippling through every consumer — which profiled at ~23% of the
+        # whole forward step (BENCHMARKS.md, round-2 profile). Under the
+        # default "rbg" PRNG the flat draw is a different (equally valid)
+        # counter-based stream than the [4, n] draw; threefry is bitwise
+        # identical either way.
+        u4 = jax.random.uniform(k_d, (4 * n,), jnp.float32)
+        uniforms = tuple(u4[i * n:(i + 1) * n] for i in range(4))
         if cfg.sort_materials or cfg.compact:
             # Key the sample stream on the path's pixel identity, not its
             # lane: path p draws uniforms[:, pixel(p)] wherever the sort
@@ -197,7 +216,8 @@ def trace_wavefront(
             # the unpermuted one (tests/test_render.py). In the unsorted
             # path pixel_index == lane index and this gather is a no-op we
             # skip entirely.
-            uniforms = jnp.take(uniforms, state.pixel_index, axis=1)
+            uniforms = tuple(jnp.take(u, state.pixel_index)
+                             for u in uniforms)
         last = depth >= (cfg.trace_depth - 1)
         out = wf.shade_planar(
             hit, state.direction, state.throughput, state.alive,
@@ -292,7 +312,8 @@ def _first_hit_of(cam, geoms, meshes, cfg, packed_meshes=()):
                                              jax.random.PRNGKey(0),
                                              antialias=False, tile=cfg.tile)
     return wf.intersect_planar(o, d, times, geoms, meshes, cfg.geom_types,
-                               packed_meshes, cfg.mesh_ids)
+                               packed_meshes, cfg.mesh_ids,
+                               sdf_kinds=cfg.sdf_kinds)
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("accum",))
@@ -355,6 +376,7 @@ class Renderer:
             mesh_geom_indices=mesh_idx,
             geom_types=tuple(int(t) for t in types),
             mesh_ids=tuple(int(m) for m in np.asarray(scene.geoms.mesh_id)),
+            sdf_kinds=scene.sdf_kinds,
             unroll=bool(len(mesh_idx) and scene.packed_meshes),
             tile=(32 if (len(mesh_idx) and scene.packed_meshes
                          and w % 32 == 0 and h % 32 == 0) else 0),
@@ -362,6 +384,9 @@ class Renderer:
                 scene.materials.specular_exponent) > 0)),
             sky=bool(float(np.asarray(scene.textures.sky)[0]) > 0),
             russian_roulette=self.settings.russian_roulette,
+            dof=bool(scene.camera.aperture > 0
+                     and scene.camera.focal_distance > 0),
+            motion=bool(scene.camera.shutter > 0),
         )
         self.base_key = jax.random.key(self.settings.seed, impl=self.settings.rng)
         self.reset()

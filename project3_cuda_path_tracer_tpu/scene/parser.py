@@ -8,6 +8,13 @@ IDs must be sequential (src/scene.cpp:37,155). Blocks end at a blank line.
 
 Extensions (gated on new keywords, so reference scenes parse unchanged):
   OBJECT type   `mesh <path.obj>`          (TODO slot: src/pathtrace.cu:188)
+                `sdf <kind>`               (same TODO's "metaball? CSG?":
+                                            torus/roundbox/capsule/metaball/
+                                            csg_union/csg_inter/csg_diff;
+                                            ops/sdf.py)
+  OBJECT key    PARAMS p0 p1 ...           (SDF shape parameters)
+                A|B sphere cx cy cz r      (CSG sub-shapes, object space)
+                A|B box cx cy cz hx hy hz
   OBJECT key    VELOC vx vy vz             (motion blur: src/pathtrace.cu:119)
   CAMERA keys   APERTURE r / FOCAL d       (thin-lens DoF: src/pathtrace.cu:120)
                 SHUTTER t                  (motion blur time span)
@@ -131,7 +138,8 @@ def load_scene(path: str) -> T.Scene:
                     f"OBJECT ID {gid} does not match expected {len(geoms)}")
             g = dict(type=None, mesh_path=None, material=0,
                      trans=(0, 0, 0), rotat=(0, 0, 0), scale=(1, 1, 1),
-                     veloc=(0, 0, 0))
+                     veloc=(0, 0, 0),
+                     sdf_kind=(-1, -1, -1), sdf_params=None)
             # type line (reference: src/scene.cpp:46-55)
             while True:
                 tline = cur.next()
@@ -146,8 +154,21 @@ def load_scene(path: str) -> T.Scene:
             elif tname == "mesh":
                 g["type"] = T.MESH
                 g["mesh_path"] = os.path.join(base, trow[1])
+            elif tname == "sdf":
+                from ..ops import sdf as S
+                kinds = dict(torus=S.TORUS, roundbox=S.ROUNDBOX,
+                             capsule=S.CAPSULE, metaball=S.METABALL,
+                             csg_union=S.CSG_UNION, csg_inter=S.CSG_INTER,
+                             csg_diff=S.CSG_DIFF)
+                if len(trow) < 2 or trow[1] not in kinds:
+                    raise SceneParseError(
+                        f"sdf needs a kind in {sorted(kinds)}")
+                g["type"] = T.SDF
+                g["sdf_kind"] = (kinds[trow[1]], -1, -1)
+                g["sdf_params"] = [0.0] * 20
             else:
                 raise SceneParseError(f"unknown OBJECT type {tname!r}")
+            subshape = dict(sphere=0, box=1)   # ops/sdf SUB_SPHERE/SUB_BOX
             for row in _read_block(cur):
                 k = row[0]
                 if k == "material":
@@ -160,6 +181,26 @@ def load_scene(path: str) -> T.Scene:
                     g["scale"] = tuple(float(v) for v in row[1:4])
                 elif k == "VELOC":
                     g["veloc"] = tuple(float(v) for v in row[1:4])
+                elif k == "PARAMS" and g["type"] == T.SDF:
+                    vals = [float(v) for v in row[1:21]]
+                    g["sdf_params"][:len(vals)] = vals
+                    from ..ops import sdf as S
+                    if g["sdf_kind"][0] == S.METABALL:
+                        # metaball PARAMS = k then (x y z r) per ball; the
+                        # static ball count rides in aux_a
+                        nballs = max(1, min((len(vals) - 1) // 4,
+                                            S.MAX_BALLS))
+                        g["sdf_kind"] = (S.METABALL, nballs, -1)
+                elif k in ("A", "B") and g["type"] == T.SDF:
+                    if row[1] not in subshape:
+                        raise SceneParseError(
+                            f"CSG sub-shape must be sphere|box, got {row[1]!r}")
+                    vals = [float(v) for v in row[2:10]]
+                    off = 0 if k == "A" else 8
+                    g["sdf_params"][off:off + len(vals)] = vals
+                    kd, a, b = g["sdf_kind"]
+                    g["sdf_kind"] = ((kd, subshape[row[1]], b) if k == "A"
+                                     else (kd, a, subshape[row[1]]))
             geoms.append(g)
         elif kw == "CAMERA":
             res = (800, 800)
@@ -239,6 +280,7 @@ def load_scene(path: str) -> T.Scene:
         else:
             mesh_ids.append(-1)
 
+    has_sdf = any(g["type"] == T.SDF for g in geoms)
     geom_soa = T.Geoms(
         type=jnp.array([g["type"] for g in geoms], jnp.int32),
         material_id=jnp.array([g["material"] for g in geoms], jnp.int32),
@@ -247,7 +289,10 @@ def load_scene(path: str) -> T.Scene:
         inverse_transpose=jnp.asarray(invt),
         velocity=jnp.array([g["veloc"] for g in geoms], jnp.float32),
         mesh_id=jnp.array(mesh_ids, jnp.int32),
+        sdf_params=(jnp.array([g["sdf_params"] or [0.0] * 20 for g in geoms],
+                              jnp.float32) if has_sdf else None),
     )
+    sdf_kinds = (tuple(g["sdf_kind"] for g in geoms) if has_sdf else ())
 
     if mesh_paths:
         from .bvh import build_mesh_bundle
@@ -265,7 +310,8 @@ def load_scene(path: str) -> T.Scene:
 
     return T.Scene(camera=cam, settings=settings, materials=materials,
                    geoms=geom_soa, meshes=meshes, textures=textures,
-                   source_path=os.path.abspath(path), packed_meshes=packed)
+                   source_path=os.path.abspath(path), packed_meshes=packed,
+                   sdf_kinds=sdf_kinds)
 
 
 def _load_textures(mats: List[dict], envmap_path: Optional[str],

@@ -21,6 +21,7 @@ from ..utils import math as m
 SPHERE = 0
 CUBE = 1
 MESH = 2  # extension slot (reference TODO: src/pathtrace.cu:188)
+SDF = 3   # implicit-surface slot (same TODO: "metaball? CSG?"); ops/sdf.py
 
 BACKGROUND_COLOR = np.zeros(3, dtype=np.float32)  # src/sceneStructs.h:8
 
@@ -73,13 +74,17 @@ class Geoms:
     `velocity` is the motion-blur extension (reference TODO:
     src/pathtrace.cu:119): world-space translation per unit shutter time.
     """
-    type: jnp.ndarray               # [G] int32 (SPHERE/CUBE/MESH)
+    type: jnp.ndarray               # [G] int32 (SPHERE/CUBE/MESH/SDF)
     material_id: jnp.ndarray        # [G] int32
     transform: jnp.ndarray          # [G,4,4]
     inverse_transform: jnp.ndarray  # [G,4,4]
     inverse_transpose: jnp.ndarray  # [G,4,4]
     velocity: jnp.ndarray           # [G,3]
     mesh_id: jnp.ndarray            # [G] int32; index into MeshBundle, -1 if none
+    # [G, ops.sdf.PARAM_SLOTS] float32 SDF shape parameters (traced, so
+    # implicit shapes are differentiable scene inputs); None when the scene
+    # has no SDF geoms (None is an empty pytree subtree, not a leaf).
+    sdf_params: Optional[jnp.ndarray] = None
 
 
 @_register
@@ -272,6 +277,10 @@ class Scene:
     textures: Optional[Textures] = None
     source_path: str = ""
     packed_meshes: tuple = ()
+    # Static per-geom SDF kind triples (kind, aux_a, aux_b) from ops/sdf.py,
+    # (-1, -1, -1) for non-SDF geoms; () when the scene has none. Host-side
+    # (hashable) so TraceConfig can carry it as a jit-static argument.
+    sdf_kinds: tuple = ()
 
     def __post_init__(self):
         if self.textures is None:

@@ -159,7 +159,30 @@ def sky_hdr(path, h=256, w=512):
 
 def regen_self_golden():
     """Regenerate tests/golden_cornell_64x64_8spp_seed123.npz after a
-    DELIBERATE estimator change (tests/test_golden.py compares bitwise)."""
+    DELIBERATE estimator change (tests/test_golden.py compares bitwise).
+
+    Must run under EXACTLY the test env (CPU backend, 8 virtual devices):
+    the default "rbg" PRNG rides XLA's RngBitGenerator, whose bitstream
+    depends on backend AND device topology — a 1-device artifact fails
+    bitwise against an 8-device test render. Re-exec with the right env
+    rather than trusting the caller."""
+    import subprocess
+    env_ok = (os.environ.get("JAX_PLATFORMS") == "cpu"
+              and "xla_force_host_platform_device_count=8"
+              in os.environ.get("XLA_FLAGS", "")
+              and "PALLAS_AXON_POOL_IPS" not in os.environ)
+    if not env_ok:
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8"
+                            ).strip()
+        raise SystemExit(subprocess.call(
+            [sys.executable, os.path.abspath(__file__), "--self-golden"],
+            env=env))
+    import jax
+    assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8
     from project3_cuda_path_tracer_tpu import load_scene
     from project3_cuda_path_tracer_tpu.render.integrator import Renderer
     s = load_scene("/root/reference/scenes/cornell.txt")
