@@ -44,7 +44,7 @@ BIG = 1e30
 def supports(scene: T.Scene) -> bool:
     """Static eligibility: primitives only, no textures, no env map."""
     types = np.asarray(scene.geoms.type)
-    if (types == T.MESH).any():
+    if (types == T.MESH).any() or (types == T.SDF).any():
         return False
     tx = scene.textures
     if tx.atlas.shape[0] > 1 or tx.atlas.shape[1] > 1:

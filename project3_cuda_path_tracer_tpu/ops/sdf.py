@@ -200,19 +200,38 @@ def march_local(qo: V3, qd: V3, kind: Tuple[int, int, int], params):
     t0 = jnp.where(misses_bound, T_MAX, t_in)
     live0 = ~misses_bound
 
+    # Surface-acne guard: scattered rays start ~1e-4 off their surface —
+    # INSIDE the HIT_EPS band — so a naive march would re-hit the same
+    # surface at t=0 (every bounce ray, making SDF objects near-black).
+    # A lane is only allowed to report a hit once it is ARMED, i.e. clear
+    # of the band (d > 2*HIT_EPS) — judged at the ray's TRUE origin (rays
+    # born far away arm immediately; the bounding-sphere entry point would
+    # sit right at the band edge and never arm) or at any later march
+    # point; until armed it advances by at least HIT_EPS per step.
+    armed0 = live0 & (sgn * f0 > 2.0 * HIT_EPS)
+    hit0 = live0 & False
+
     def step(carry, _):
-        t, live = carry
+        t, live, armed, hit = carry
         p = V3(qo.x + t * qd.x, qo.y + t * qd.y, qo.z + t * qd.z)
         d = sgn * sdf_eval(p, kind, params)
-        adv = jnp.where(live, jnp.maximum(d, 0.0), 0.0)
+        armed = armed | (d > 2.0 * HIT_EPS)
+        hit_now = live & armed & (d <= HIT_EPS)
+        hit = hit | hit_now
+        adv = jnp.where(live & ~hit_now,
+                        jnp.maximum(d, jnp.where(armed, 0.0, HIT_EPS)),
+                        0.0)
         t = t + adv
-        live = live & (d > HIT_EPS) & (t < 2.0 * rb + t_in)
-        return (t, live), None
+        live = live & ~hit_now & (t < 2.0 * rb + t_in)
+        return (t, live, armed, hit), None
 
-    (t, live), _ = jax.lax.scan(step, (t0, live0), None, length=MARCH_STEPS)
+    (t, live, armed, hit), _ = jax.lax.scan(
+        step, (t0, live0, armed0, hit0), None, length=MARCH_STEPS)
+    # Lanes that ran out of steps while converging (d already inside the
+    # loose band) still count as hits — dropping them punches holes.
     p = V3(qo.x + t * qd.x, qo.y + t * qd.y, qo.z + t * qd.z)
     d_final = sgn * sdf_eval(p, kind, params)
-    hit = (~misses_bound) & (d_final <= 4.0 * HIT_EPS) & (t < T_MAX)
+    hit = hit | (armed & (d_final <= 4.0 * HIT_EPS) & (t < T_MAX))
     return t, hit, outside
 
 

@@ -46,7 +46,8 @@ def live_path_histogram(scene: T.Scene, cfg: Optional[integ.TraceConfig]
         for depth in range(cfg.trace_depth):
             hit = wf.intersect_planar(o, d, times, scene.geoms, scene.meshes,
                                       cfg.geom_types, scene.packed_meshes,
-                                      cfg.mesh_ids)
+                                      cfg.mesh_ids,
+                                      sdf_kinds=cfg.sdf_kinds)
             u = jax.random.uniform(keys[depth], (4, n), jnp.float32)
             last = jnp.broadcast_to(depth >= cfg.trace_depth - 1,
                                     alive.shape)
