@@ -119,6 +119,19 @@ class TraceConfig:
     # bitwise, but XLA still ran the sqrt/sincos/normalize per lane.
     dof: bool = True
     motion: bool = True
+    # Process the wavefront in `vmem_tiles` contiguous ray tiles, each
+    # running the FULL bounce loop before the next tile starts (a lax.scan
+    # over tiles around the scan over depth). The round-2 device profile
+    # showed the full-wavefront pipeline HBM-bound: at 640k rays the hot
+    # fusions stream the inter-bounce path state at 660-674 GB/s (82% of
+    # the v5e roof). With ~64k-ray tiles the whole per-tile bounce state
+    # fits in VMEM (128 MB/core), so XLA's memory-space assignment keeps
+    # it on-chip and HBM sees only ray-gen inputs and final radiance.
+    # 0/1 = off. Requires sort/compact off (those are full-wavefront
+    # permutations) and no ray_sharding (tiles would straddle shards).
+    # Per-bounce uniforms are keyed (depth, tile): a different — equally
+    # valid — counter-based stream than the untiled draw.
+    vmem_tiles: int = 0
 
 
 def trace_wavefront(
@@ -156,41 +169,11 @@ def trace_wavefront(
         shard = lambda a: jax.lax.with_sharding_constraint(a, cfg.ray_sharding)
         o = V3(*(shard(c) for c in o))
         d = V3(*(shard(c) for c in d))
-    ones = jnp.ones((n,), jnp.float32)
-    zeros = jnp.zeros((n,), jnp.float32)
-    state = PathState(
-        origin=o, direction=d,
-        throughput=V3(ones, ones, ones),
-        pixel_index=pix,
-        alive=jnp.ones((n,), bool),
-        time=times,
-    )
-    radiance = V3(zeros, zeros, zeros)
+    depths = jnp.arange(cfg.trace_depth, dtype=jnp.int32)
+    keys = jax.random.split(k_bounce, cfg.trace_depth)
 
-    def bounce(carry, inp):
-        state, radiance = carry
-        depth, k_d = inp
-        hit = wf.intersect_planar(state.origin, state.direction, state.time,
-                                  geoms, meshes, geom_types,
-                                  packed_meshes, cfg.mesh_ids,
-                                  cfg.differentiable_mesh,
-                                  alive=state.alive,
-                                  sdf_kinds=cfg.sdf_kinds)
-        if cfg.remat_save == "hits":
-            from jax.ad_checkpoint import checkpoint_name
-            hit = jax.tree_util.tree_map(
-                lambda a: checkpoint_name(a, "hit"), hit)
-        return _shade_and_advance(state, radiance, hit, depth, k_d), None
-
-    if cfg.remat:
-        if cfg.remat_save == "hits":
-            bounce = jax.checkpoint(
-                bounce,
-                policy=jax.checkpoint_policies.save_only_these_names("hit"))
-        else:
-            bounce = jax.checkpoint(bounce)
-
-    def _shade_and_advance(state, radiance, hit, depth, k_d):
+    def _shade_and_advance(state, radiance, hit, depth, k_d, tile_idx):
+        nl = state.alive.shape[0]
         if cfg.sort_materials or cfg.compact:
             num_m = materials.color.shape[0]
             ids, buckets = compaction.material_bucket_ids(
@@ -206,9 +189,11 @@ def trace_wavefront(
         # whole forward step (BENCHMARKS.md, round-2 profile). Under the
         # default "rbg" PRNG the flat draw is a different (equally valid)
         # counter-based stream than the [4, n] draw; threefry is bitwise
-        # identical either way.
-        u4 = jax.random.uniform(k_d, (4 * n,), jnp.float32)
-        uniforms = tuple(u4[i * n:(i + 1) * n] for i in range(4))
+        # identical either way. Under vmem_tiles the key is additionally
+        # folded with the tile index.
+        k_u = k_d if tile_idx is None else jax.random.fold_in(k_d, tile_idx)
+        u4 = jax.random.uniform(k_u, (4 * nl,), jnp.float32)
+        uniforms = tuple(u4[i * nl:(i + 1) * nl] for i in range(4))
         if cfg.sort_materials or cfg.compact:
             # Key the sample stream on the path's pixel identity, not its
             # lane: path p draws uniforms[:, pixel(p)] wherever the sort
@@ -225,17 +210,20 @@ def trace_wavefront(
             last_bounce=jnp.broadcast_to(last, state.alive.shape),
             glossy=cfg.glossy, sky=cfg.sky)
         if cfg.sort_materials or cfg.compact:
-            pix = state.pixel_index
-            radiance = V3(radiance.x.at[pix].add(out.radiance.x),
-                          radiance.y.at[pix].add(out.radiance.y),
-                          radiance.z.at[pix].add(out.radiance.z))
+            spix = state.pixel_index
+            radiance = V3(radiance.x.at[spix].add(out.radiance.x),
+                          radiance.y.at[spix].add(out.radiance.y),
+                          radiance.z.at[spix].add(out.radiance.z))
         else:
             radiance = radiance + out.radiance
 
         thr = out.throughput
         alive2 = out.alive
         if cfg.russian_roulette:
-            u_rr = jax.random.uniform(jax.random.fold_in(k_d, 7), (n,))
+            k_rr = jax.random.fold_in(k_d, 7)
+            if tile_idx is not None:
+                k_rr = jax.random.fold_in(k_rr, tile_idx)
+            u_rr = jax.random.uniform(k_rr, (nl,))
             if cfg.sort_materials or cfg.compact:
                 u_rr = jnp.take(u_rr, state.pixel_index)  # path-keyed (above)
             q = jnp.clip(jnp.maximum(thr.x, jnp.maximum(thr.y, thr.z)),
@@ -252,33 +240,93 @@ def trace_wavefront(
                           alive=alive2, time=state.time)
         return state, radiance
 
-    depths = jnp.arange(cfg.trace_depth, dtype=jnp.int32)
-    keys = jax.random.split(k_bounce, cfg.trace_depth)
+    def _run(o, d, times, pix, tile_idx, first_hit):
+        """Bounce loop over one contiguous ray block (the full wavefront,
+        or one vmem tile). Returns path-ordered radiance [nl] planes."""
+        nl = pix.shape[0]
+        ones = jnp.ones((nl,), jnp.float32)
+        zeros = jnp.zeros((nl,), jnp.float32)
+        state = PathState(
+            origin=o, direction=d,
+            throughput=V3(ones, ones, ones),
+            pixel_index=pix,
+            alive=jnp.ones((nl,), bool),
+            time=times,
+        )
+        radiance = V3(zeros, zeros, zeros)
 
-    start = 0
-    if first_hit is not None:
-        # First-bounce cache (reference slot: iteration-invariant depth-0
-        # intersections, src/pathtrace.cu:150,240): skip the depth-0
-        # intersect and reuse the cached Hit.
-        (state, radiance) = _shade_and_advance(state, radiance, first_hit,
-                                               jnp.int32(0), keys[0])
-        start = 1
-
-    if cfg.trace_depth > start:
-        if cfg.unroll:
-            carry = (state, radiance)
-            for dd in range(start, cfg.trace_depth):
-                carry, _ = bounce(carry, (depths[dd], keys[dd]))
+        def bounce(carry, inp):
             state, radiance = carry
-        else:
-            (state, radiance), _ = jax.lax.scan(
-                bounce, (state, radiance), (depths[start:], keys[start:]))
+            depth, k_d = inp
+            hit = wf.intersect_planar(state.origin, state.direction,
+                                      state.time, geoms, meshes, geom_types,
+                                      packed_meshes, cfg.mesh_ids,
+                                      cfg.differentiable_mesh,
+                                      alive=state.alive,
+                                      sdf_kinds=cfg.sdf_kinds)
+            if cfg.remat_save == "hits":
+                from jax.ad_checkpoint import checkpoint_name
+                hit = jax.tree_util.tree_map(
+                    lambda a: checkpoint_name(a, "hit"), hit)
+            return _shade_and_advance(state, radiance, hit, depth, k_d,
+                                      tile_idx), None
+
+        if cfg.remat:
+            if cfg.remat_save == "hits":
+                bounce = jax.checkpoint(
+                    bounce,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "hit"))
+            else:
+                bounce = jax.checkpoint(bounce)
+
+        start = 0
+        if first_hit is not None:
+            # First-bounce cache (reference slot: iteration-invariant
+            # depth-0 intersections, src/pathtrace.cu:150,240): skip the
+            # depth-0 intersect and reuse the cached Hit.
+            (state, radiance) = _shade_and_advance(state, radiance,
+                                                   first_hit, jnp.int32(0),
+                                                   keys[0], tile_idx)
+            start = 1
+
+        if cfg.trace_depth > start:
+            if cfg.unroll:
+                carry = (state, radiance)
+                for dd in range(start, cfg.trace_depth):
+                    carry, _ = bounce(carry, (depths[dd], keys[dd]))
+                state, radiance = carry
+            else:
+                (state, radiance), _ = jax.lax.scan(
+                    bounce, (state, radiance),
+                    (depths[start:], keys[start:]))
+        return radiance
+
+    tiled = (cfg.vmem_tiles > 1
+             and not (cfg.sort_materials or cfg.compact)
+             and cfg.ray_sharding is None
+             and first_hit is None
+             and n % cfg.vmem_tiles == 0)
+    if tiled:
+        tn = n // cfg.vmem_tiles
+
+        def tile_body(_, ti):
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ti * tn, tn)
+            rad = _run(V3(sl(o.x), sl(o.y), sl(o.z)),
+                       V3(sl(d.x), sl(d.y), sl(d.z)),
+                       sl(times), sl(pix), ti, None)
+            return None, (rad.x, rad.y, rad.z)
+
+        _, (rx, ry, rz) = jax.lax.scan(
+            tile_body, None, jnp.arange(cfg.vmem_tiles, dtype=jnp.int32))
+        radiance = V3(rx.reshape(n), ry.reshape(n), rz.reshape(n))
+    else:
+        radiance = _run(o, d, times, pix, None, first_hit)
 
     if cfg.tile and not (cfg.sort_materials or cfg.compact):
         # radiance is path-ordered under the tile swizzle; one permutation
         # scatter maps it back to pixel order (the sort path already
         # accumulated in pixel space).
-        pix = state.pixel_index
         radiance = V3(jnp.zeros((n,), jnp.float32).at[pix].set(radiance.x),
                       jnp.zeros((n,), jnp.float32).at[pix].set(radiance.y),
                       jnp.zeros((n,), jnp.float32).at[pix].set(radiance.z))

@@ -112,6 +112,33 @@ def test_sort_compact_preserve_image(cornell_small):
     np.testing.assert_array_equal(base, only_sort)
 
 
+def test_vmem_tiles_estimator(cornell_small):
+    """TraceConfig.vmem_tiles runs the bounce loop per ray tile (a measured
+    perf experiment — BENCHMARKS.md round 2). Per-bounce uniforms are keyed
+    (depth, tile), a different but equally valid stream: the tiled render
+    must be deterministic and statistically match the untiled estimator."""
+    import dataclasses
+    s = cornell_small
+    gt = tuple(int(t) for t in np.asarray(s.geoms.type))
+    cfg0 = I.TraceConfig(width=32, height=32, trace_depth=4,
+                         antialias=True, geom_types=gt,
+                         glossy=False, sky=False)
+    cfgT = dataclasses.replace(cfg0, vmem_tiles=4)
+    key = jax.random.PRNGKey(3)
+
+    def acc(cfg):
+        z = jnp.zeros((32, 32, 3), jnp.float32)  # fresh: render_chunk donates
+        return np.asarray(I.render_chunk(
+            z, s.materials, s.camera.flat(), s.geoms, s.meshes,
+            s.textures, key, 0, cfg, 64)) / 64
+
+    a0, aT = acc(cfg0), acc(cfgT)
+    aT2 = acc(cfgT)
+    np.testing.assert_array_equal(aT, aT2)       # deterministic
+    assert abs(a0.mean() - aT.mean()) < 0.02     # same estimator
+    assert np.abs(a0 - aT).mean() < 0.15         # MC noise, not structure
+
+
 def test_permutation_roundtrip_exact():
     """apply_permutation followed by its inverse is the identity, and the
     bucket-sort permutation is a true permutation (hits every index once)."""
