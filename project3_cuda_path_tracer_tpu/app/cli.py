@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compact terminated paths each bounce")
     p.add_argument("--russian-roulette", action="store_true",
                    help="unbiased stochastic termination from bounce 3")
+    p.add_argument("--nee", action="store_true",
+                   help="next-event estimation (direct-light sampling): "
+                        "unbiased variance reduction for diffuse scenes")
     p.add_argument("--sharded", action="store_true",
                    help="shard pixels across all visible devices")
     p.add_argument("--megakernel", action="store_true",
@@ -90,6 +93,7 @@ def main(argv=None) -> int:
     st.sort_materials = args.sort
     st.compact = args.compact
     st.russian_roulette = args.russian_roulette
+    st.nee = args.nee
     st.seed = args.seed
 
     base = os.path.join(args.outdir, args.out or st.image_name)

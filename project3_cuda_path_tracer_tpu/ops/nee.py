@@ -1,0 +1,162 @@
+"""Next-event estimation (direct-light sampling) over the planar wavefront.
+
+The classic "direct lighting" completed-project extension to the
+reference scaffold's BSDF-sampling loop (the shading TODO at
+src/pathtrace.cu:360-367 + src/interactions.h:44-68 defines pure BSDF
+sampling; NEE is the standard variance-reduction layered on top): at
+every diffuse-capable hit, sample one point uniformly over the union of
+the scene's emissive surfaces, cast a shadow ray through the production
+intersector, and add the area-form direct contribution
+
+    throughput * p_diff * albedo/pi * Le * cos_s * cos_l / d^2 * A_total
+
+Diffuse-continuation rays then skip emissive hits at the next bounce
+(that light is already accounted), so the estimator stays unbiased and —
+because NEE is also skipped on the last bounce — covers EXACTLY the same
+transport as the plain estimator at equal trace depth (tested:
+tests/test_nee.py renders converge to the same image).
+
+TPU design decisions:
+  * The light table is STATIC (a hashable tuple baked into TraceConfig):
+    light geometry derives from scene transforms, which the
+    differentiable path never optimizes. Emitted radiance
+    (color * emittance) is read from the traced materials table at shade
+    time, so NEE stays differentiable in light brightness/color.
+  * Face selection is a static unroll over the table (chained selects,
+    no gathers — the same no-gather discipline as ops/wavefront).
+  * Two-sided emitters (matching the reference, where ANY hit on an
+    emissive geom collects emittance): cos_l uses |dot|; a sample on a
+    back face is killed by its own occlusion test.
+"""
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import vec
+from .vec import V3
+from ..scene import types as T
+
+# face record layout (hashable floats):
+#   (cum_frac, kind, ox,oy,oz, ux,uy,uz, vx,vy,vz, nx,ny,nz, mat_id, radius)
+# kind 0 = parallelogram (cube face), kind 1 = sphere (o=center, radius).
+FACE_LEN = 16
+
+
+def build_light_table(scene) -> Tuple[tuple, float]:
+    """Static NEE light table for a scene: (faces, total_area).
+
+    Eligible emissive geoms: CUBE (any affine transform — each face maps
+    to a world-space parallelogram, uniform area sampling stays uniform)
+    and SPHERE with uniform scale. Returns ((), 0.0) when the scene has
+    no emissive geoms OR any emissive geom is ineligible (mesh/SDF/
+    non-uniform sphere): partial NEE would bias the suppression rule, so
+    it is all-or-nothing.
+    """
+    types = np.asarray(scene.geoms.type)
+    mat_ids = np.asarray(scene.geoms.material_id)
+    emit = np.asarray(scene.materials.emittance)
+    xforms = np.asarray(scene.geoms.transform)
+    inv_t = np.asarray(scene.geoms.inverse_transpose)
+
+    faces = []
+    for g in range(types.shape[0]):
+        m = int(mat_ids[g])
+        if emit[m] <= 0.0:
+            continue
+        M = xforms[g]
+        if types[g] == T.CUBE:
+            for k in range(3):
+                for s in (0.5, -0.5):
+                    ka, kb = (k + 1) % 3, (k + 2) % 3
+                    corner = np.full(3, -0.5)
+                    corner[k] = s
+                    o = (M[:3, :3] @ corner) + M[:3, 3]
+                    eu = M[:3, ka].copy()
+                    ev = M[:3, kb].copy()
+                    area = float(np.linalg.norm(np.cross(eu, ev)))
+                    n_obj = np.zeros(3)
+                    n_obj[k] = np.sign(s)
+                    n = inv_t[g][:3, :3] @ n_obj
+                    nn = np.linalg.norm(n)
+                    n = n / nn if nn > 0 else n_obj
+                    faces.append((0.0, 0.0, *o.tolist(), *eu.tolist(),
+                                  *ev.tolist(), *n.tolist(), float(m),
+                                  0.0, area))
+        elif types[g] == T.SPHERE:
+            s0, s1, s2 = (np.linalg.norm(M[:3, i]) for i in range(3))
+            if abs(s0 - s1) > 1e-5 * s0 or abs(s0 - s2) > 1e-5 * s0:
+                return (), 0.0  # non-uniform sphere: ineligible
+            r = 0.5 * float(s0)
+            c = M[:3, 3]
+            area = 4.0 * math.pi * r * r
+            faces.append((0.0, 1.0, *c.tolist(), 0.0, 0.0, 0.0,
+                          0.0, 0.0, 0.0, 0.0, 0.0, 0.0, float(m), r, area))
+        else:
+            return (), 0.0  # emissive mesh/SDF: ineligible
+    if not faces:
+        return (), 0.0
+    total = sum(f[-1] for f in faces)
+    out = []
+    cum = 0.0
+    for f in faces:
+        cum += f[-1] / total
+        out.append((cum,) + tuple(f[1:-1]))
+    # pin the last cum to exactly 1.0 against float drift
+    out[-1] = (1.0,) + out[-1][1:]
+    return tuple(out), float(total)
+
+
+def sample_lights_planar(faces: tuple, u_face, u1, u2):
+    """Uniform-by-area sample over the light union (static face unroll).
+
+    Returns (lp V3, ln V3, light_mat [N] int32). Per-lane face choice via
+    the CDF in the table; each face's candidate point is computed from
+    scalars broadcast against the uniform planes, then chained-selected.
+    """
+    def face_point(f):
+        cum, kind = f[0], f[1]
+        o = V3(*(c + jnp.zeros_like(u1) for c in f[2:5]))
+        if kind >= 0.5:  # sphere
+            r = f[15]
+            z = 1.0 - 2.0 * u1
+            rxy = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+            phi = u2 * (2.0 * math.pi)
+            w = V3(rxy * jnp.cos(phi), rxy * jnp.sin(phi), z)
+            lp = V3(o.x + r * w.x, o.y + r * w.y, o.z + r * w.z)
+            return lp, w
+        eu, ev, nrm = f[5:8], f[8:11], f[11:14]
+        lp = V3(o.x + u1 * eu[0] + u2 * ev[0],
+                o.y + u1 * eu[1] + u2 * ev[1],
+                o.z + u1 * eu[2] + u2 * ev[2])
+        ln = V3(*(c + jnp.zeros_like(u1) for c in nrm))
+        return lp, ln
+
+    lp, ln = face_point(faces[0])
+    lmat = jnp.full_like(u1, faces[0][14])
+    prev_cum = faces[0][0]
+    for f in faces[1:]:
+        take = u_face >= prev_cum
+        p2, n2 = face_point(f)
+        lp = vec.where(take, p2, lp)
+        ln = vec.where(take, n2, ln)
+        lmat = jnp.where(take, f[14], lmat)
+        prev_cum = f[0]
+    return lp, ln, lmat.astype(jnp.int32)
+
+
+def shadow_setup(p: V3, lp: V3, ln: V3, total_area: float):
+    """Shadow-ray direction + area-form geometry term.
+
+    Returns (wl V3, dist [N], geom [N]) with
+    geom = |cos_l| * A_total / d^2 (two-sided emitters — see module doc).
+    """
+    dv = V3(lp.x - p.x, lp.y - p.y, lp.z - p.z)
+    dist = jnp.sqrt(jnp.maximum(vec.dot(dv, dv), 1e-12))
+    wl = V3(dv.x / dist, dv.y / dist, dv.z / dist)
+    cos_l = jnp.abs(vec.dot(ln, wl))
+    geom = cos_l * total_area / (dist * dist)
+    return wl, dist, geom

@@ -20,7 +20,7 @@ the scatterRay contract of src/interactions.h:44-79.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -542,6 +542,12 @@ class ShadeOutP(NamedTuple):
     throughput: V3
     radiance: V3
     alive: jnp.ndarray
+    # Set only under NEE (ops/nee.py): the solid-angle pdf of the chosen
+    # continuation direction under the DIFFUSE lobe (p_diff * cos / pi),
+    # 0 for specular/refractive/terminated lanes. The next bounce's
+    # emissive hit is MIS-weighted against the light-sampling pdf of that
+    # hit (balance heuristic); 0 means full weight.
+    nee_pdf: Optional[jnp.ndarray] = None
 
 
 def _mat_select(table: jnp.ndarray, mat_id: jnp.ndarray):
@@ -678,12 +684,22 @@ def reflect_planar(d: V3, n: V3) -> V3:
 def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
                  textures: T.Textures, uniforms: jnp.ndarray,
                  last_bounce, glossy: bool = True,
-                 sky: bool = True) -> ShadeOutP:
+                 sky: bool = True, nee=None) -> ShadeOutP:
     """One scattering step over the wavefront; uniforms is [4,N].
 
     `glossy` / `sky` (static) gate the Phong-lobe and procedural-sky math —
     both contain pow(), a transcendental the VPU pays for on every lane, so
-    scenes that don't use them skip the work entirely."""
+    scenes that don't use them skip the work entirely.
+
+    `nee` (ops/nee.py; None = plain BSDF sampling) is the tuple
+    (wl V3, vis [N] bool, geom [N], light_mat [N] int32, prev_pdf [N],
+    area float): the shadow-tested light sample for this bounce plus the
+    previous bounce's diffuse-lobe pdf. Both strategies are combined with
+    the one-sample MIS balance heuristic: the NEE contribution's weight
+    collapses to raw/(1+raw) (raw = p_diff*cos_s*geom/pi — bounded, so
+    the classic near-light 1/d^2 area-sampling spike cannot occur), and
+    emissive BSDF hits are weighted prev_pdf/(prev_pdf + pdf_light(hit))
+    with prev_pdf==0 meaning full weight (camera/specular/glossy rays)."""
     mat_id = hit.mat_id
     albedo = _mat_select(materials.color, mat_id)
 
@@ -758,6 +774,18 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
     lit = alive & is_light
     mis = alive & missed
     rad_scale = jnp.where(lit, emittance, 0.0)
+    if nee is not None:
+        # MIS-weight the emissive BSDF hit against the light-sampling pdf
+        # of the SAME point (balance heuristic; the env miss term is
+        # untouched — NEE never samples the env map). prev_pdf == 0 means
+        # the previous event was camera/specular/glossy: full weight.
+        prev_pdf, area = nee[4], nee[5]
+        cos_l_hit = jnp.abs(vec.dot(hit.normal, ray_d))
+        pdf_l_hit = (hit.t * hit.t) / jnp.maximum(cos_l_hit * area, 1e-9)
+        w_hit = jnp.where(prev_pdf > 0.0,
+                          prev_pdf / jnp.maximum(prev_pdf + pdf_l_hit,
+                                                 1e-30), 1.0)
+        rad_scale = rad_scale * w_hit
     radiance = V3(
         jnp.where(lit, throughput.x * albedo.x * rad_scale,
                   jnp.where(mis, throughput.x * env.x, 0.0)),
@@ -765,6 +793,24 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
                   jnp.where(mis, throughput.y * env.y, 0.0)),
         jnp.where(lit, throughput.z * albedo.z * rad_scale,
                   jnp.where(mis, throughput.z * env.z, 0.0)))
+
+    if nee is not None:
+        # Direct light through the surface's DIFFUSE component, area form
+        #   raw = p_diff * cos_s * (|cos_l| * A / d^2) / pi
+        # MIS balance weight vs the diffuse lobe's own pdf collapses to
+        # raw/(1+raw) — see the docstring. Skipped on the last bounce so
+        # the estimator covers exactly the transport of the plain
+        # estimator at equal depth (ops/nee.py).
+        wl, vis, geom_term, lmat = nee[0], nee[1], nee[2], nee[3]
+        le = _mat_select(materials.color, lmat)
+        le_scale = _mat_select(materials.emittance, lmat)
+        cos_s = jnp.clip(vec.dot(hit.normal, wl), 0.0, None)
+        nee_ok = alive & hit_ok & ~is_light & ~last_bounce & vis
+        raw = p_diff * (1.0 / jnp.pi) * cos_s * geom_term
+        w = jnp.where(nee_ok, raw / (1.0 + raw) * le_scale, 0.0)
+        radiance = V3(radiance.x + throughput.x * albedo.x * le.x * w,
+                      radiance.y + throughput.y * albedo.y * le.y * w,
+                      radiance.z + throughput.z * albedo.z * le.z * w)
 
     # --- lobe selection (detached) ----------------------------------------
     u_lobe = jax.lax.stop_gradient(uniforms[0])
@@ -852,6 +898,12 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
                     base_z + push * new_dir.z)
 
     still_alive = scattering & ~last_bounce
+    nee_pdf = None
+    if nee is not None:
+        take_diff_cont = still_alive & ~take_refr & ~take_spec
+        cos_next = jnp.clip(vec.dot(n, new_dir), 0.0, None)
+        nee_pdf = jnp.where(take_diff_cont,
+                            p_diff * cos_next * (1.0 / jnp.pi), 0.0)
     return ShadeOutP(origin=new_origin, direction=new_dir,
                      throughput=new_throughput, radiance=radiance,
-                     alive=still_alive)
+                     alive=still_alive, nee_pdf=nee_pdf)

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import compact as compaction
+from ..ops import nee as nee_mod
 from ..ops import wavefront as wf
 from ..ops.vec import V3
 from ..scene import types as T
@@ -50,6 +51,10 @@ class PathState(NamedTuple):
     pixel_index: jnp.ndarray  # [N] int32
     alive: jnp.ndarray       # [N] bool (remainingBounces > 0 analogue)
     time: jnp.ndarray        # [N] motion-blur sample time
+    # Under NEE only (None otherwise — an empty pytree subtree): the
+    # diffuse-lobe pdf of the last scatter (0 = camera/specular/glossy);
+    # MIS-weights the next emissive hit (ops/nee.py, wavefront.ShadeOutP).
+    prev_pdf: Optional[jnp.ndarray] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -132,6 +137,14 @@ class TraceConfig:
     # Per-bounce uniforms are keyed (depth, tile): a different — equally
     # valid — counter-based stream than the untiled draw.
     vmem_tiles: int = 0
+    # Next-event estimation / direct-light sampling (ops/nee.py). The
+    # static light table (nee_lights = face records, nee_area = union
+    # surface area) is built host-side by ops.nee.build_light_table;
+    # requires sort/compact off (NEE's per-bounce light sample is drawn
+    # lane-aligned before the permutation).
+    nee: bool = False
+    nee_lights: Tuple = ()
+    nee_area: float = 0.0
 
 
 def trace_wavefront(
@@ -159,6 +172,10 @@ def trace_wavefront(
     if geom_types is None:
         raise ValueError("TraceConfig.geom_types is required (static "
                          "per-geom type tuple)")
+    if cfg.nee and (cfg.sort_materials or cfg.compact):
+        raise ValueError("nee is incompatible with sort_materials/compact "
+                         "(the light sample is drawn lane-aligned before "
+                         "the permutation)")
 
     o, d, times, pix = wf.generate_rays_planar(cam, cfg.width, cfg.height,
                                                k_gen,
@@ -172,7 +189,8 @@ def trace_wavefront(
     depths = jnp.arange(cfg.trace_depth, dtype=jnp.int32)
     keys = jax.random.split(k_bounce, cfg.trace_depth)
 
-    def _shade_and_advance(state, radiance, hit, depth, k_d, tile_idx):
+    def _shade_and_advance(state, radiance, hit, depth, k_d, tile_idx,
+                           nee_info=None):
         nl = state.alive.shape[0]
         if cfg.sort_materials or cfg.compact:
             num_m = materials.color.shape[0]
@@ -204,11 +222,23 @@ def trace_wavefront(
             uniforms = tuple(jnp.take(u, state.pixel_index)
                              for u in uniforms)
         last = depth >= (cfg.trace_depth - 1)
+        nee_tuple = None
+        if cfg.nee and nee_info is not None:
+            # (wl, vis, geom, lmat) from the bounce's shadow pass + the
+            # carried previous-scatter diffuse pdf + the static light
+            # area. A bounce WITHOUT a light sample (the cached depth-0
+            # path) shades plain — per-segment the estimator composes
+            # either way (ops/nee.py).
+            prev_pdf = state.prev_pdf if state.prev_pdf is not None \
+                else jnp.zeros((nl,), jnp.float32)
+            nee_tuple = nee_info + (prev_pdf, cfg.nee_area)
         out = wf.shade_planar(
             hit, state.direction, state.throughput, state.alive,
             materials, textures, uniforms,
             last_bounce=jnp.broadcast_to(last, state.alive.shape),
-            glossy=cfg.glossy, sky=cfg.sky)
+            glossy=cfg.glossy, sky=cfg.sky, nee=nee_tuple)
+        if cfg.nee and out.nee_pdf is None:
+            out = out._replace(nee_pdf=jnp.zeros((nl,), jnp.float32))
         if cfg.sort_materials or cfg.compact:
             spix = state.pixel_index
             radiance = V3(radiance.x.at[spix].add(out.radiance.x),
@@ -237,7 +267,8 @@ def trace_wavefront(
         state = PathState(origin=out.origin, direction=out.direction,
                           throughput=thr,
                           pixel_index=state.pixel_index,
-                          alive=alive2, time=state.time)
+                          alive=alive2, time=state.time,
+                          prev_pdf=out.nee_pdf if cfg.nee else None)
         return state, radiance
 
     def _run(o, d, times, pix, tile_idx, first_hit):
@@ -252,6 +283,7 @@ def trace_wavefront(
             pixel_index=pix,
             alive=jnp.ones((nl,), bool),
             time=times,
+            prev_pdf=jnp.zeros((nl,), jnp.float32) if cfg.nee else None,
         )
         radiance = V3(zeros, zeros, zeros)
 
@@ -264,12 +296,38 @@ def trace_wavefront(
                                       cfg.differentiable_mesh,
                                       alive=state.alive,
                                       sdf_kinds=cfg.sdf_kinds)
+            nee_info = None
+            if cfg.nee and cfg.nee_lights:
+                # Direct-light sample + shadow pass (ops/nee.py). Keyed
+                # separately from the shade uniforms so enabling NEE does
+                # not shift the base sample stream.
+                k_l = jax.random.fold_in(k_d, 11)
+                if tile_idx is not None:
+                    k_l = jax.random.fold_in(k_l, tile_idx)
+                n_loc = state.alive.shape[0]
+                u3 = jax.random.uniform(k_l, (3 * n_loc,), jnp.float32)
+                lp, ln, lmat = nee_mod.sample_lights_planar(
+                    cfg.nee_lights, u3[:n_loc], u3[n_loc:2 * n_loc],
+                    u3[2 * n_loc:])
+                wl, ldist, lgeom = nee_mod.shadow_setup(hit.point, lp, ln,
+                                                        cfg.nee_area)
+                sh = wf.intersect_planar(hit.point, wl, state.time, geoms,
+                                         meshes, geom_types, packed_meshes,
+                                         cfg.mesh_ids,
+                                         alive=state.alive,
+                                         sdf_kinds=cfg.sdf_kinds)
+                occluded = (sh.t > 0.0) & (sh.t < ldist * (1.0 - 1e-3)
+                                           - 1e-3)
+                nee_info = (wl, ~occluded, lgeom, lmat)
             if cfg.remat_save == "hits":
                 from jax.ad_checkpoint import checkpoint_name
                 hit = jax.tree_util.tree_map(
                     lambda a: checkpoint_name(a, "hit"), hit)
+                if nee_info is not None:
+                    nee_info = jax.tree_util.tree_map(
+                        lambda a: checkpoint_name(a, "hit"), nee_info)
             return _shade_and_advance(state, radiance, hit, depth, k_d,
-                                      tile_idx), None
+                                      tile_idx, nee_info), None
 
         if cfg.remat:
             if cfg.remat_save == "hits":
@@ -436,6 +494,15 @@ class Renderer:
                      and scene.camera.focal_distance > 0),
             motion=bool(scene.camera.shutter > 0),
         )
+        if getattr(self.settings, "nee", False):
+            faces, area = nee_mod.build_light_table(scene)
+            if faces and not (self.cfg.sort_materials or self.cfg.compact):
+                self.cfg = dataclasses.replace(
+                    self.cfg, nee=True, nee_lights=faces, nee_area=area)
+            else:
+                import sys
+                print("nee: disabled (no eligible area lights, or "
+                      "sort/compact active)", file=sys.stderr)
         self.base_key = jax.random.key(self.settings.seed, impl=self.settings.rng)
         self.reset()
 

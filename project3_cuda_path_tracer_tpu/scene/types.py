@@ -254,6 +254,11 @@ class RenderSettings:
     compact: bool = False
     first_bounce_cache: bool = False
     russian_roulette: bool = False
+    # Next-event estimation / direct-light sampling (ops/nee.py): the
+    # classic completed-project extension; unbiased, large variance cut
+    # for diffuse scenes. Auto-disabled when the scene has no eligible
+    # area lights (Renderer warns).
+    nee: bool = False
     use_pallas: bool = True
     seed: int = 0
     # PRNG implementation: 'rbg' (XLA RngBitGenerator — much faster on TPU,

@@ -1,0 +1,182 @@
+"""Next-event estimation (ops/nee.py): light-table construction,
+unbiasedness vs the plain BSDF-sampling estimator, variance reduction,
+determinism, sphere lights, eligibility gating, Renderer/CLI wiring, and
+gradients through the NEE terms."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from project3_cuda_path_tracer_tpu import load_scene
+from project3_cuda_path_tracer_tpu.ops import nee
+from project3_cuda_path_tracer_tpu.render import integrator as I
+from project3_cuda_path_tracer_tpu.scene import types as T
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    return load_scene("/root/reference/scenes/cornell.txt")
+
+
+def _cfgs(scene, res=48, depth=5):
+    gt = tuple(int(t) for t in np.asarray(scene.geoms.type))
+    cam = dataclasses.replace(scene.camera, resolution=(res, res))
+    base = I.TraceConfig(width=res, height=res, trace_depth=depth,
+                         antialias=True, geom_types=gt,
+                         glossy=False, sky=False)
+    faces, area = nee.build_light_table(scene)
+    on = dataclasses.replace(base, nee=True, nee_lights=faces,
+                             nee_area=area)
+    return cam, base, on
+
+
+def _acc(scene, cam, cfg, iters, seed=1):
+    z = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    out = I.render_chunk(z, scene.materials, cam.flat(), scene.geoms,
+                         scene.meshes, scene.textures,
+                         jax.random.PRNGKey(seed), 0, cfg, iters)
+    return np.asarray(out) / iters
+
+
+def test_light_table_cornell(cornell):
+    """The cornell light (cube, SCALE 3 .3 3) has 6 world faces with total
+    area 2*(3*3) + 4*(3*0.3) = 21.6; the CDF ends exactly at 1."""
+    faces, area = nee.build_light_table(cornell)
+    assert len(faces) == 6
+    assert area == pytest.approx(21.6, rel=1e-5)
+    assert faces[-1][0] == 1.0
+    assert all(len(f) == nee.FACE_LEN for f in faces)
+
+
+def test_nee_unbiased_and_lower_variance(cornell):
+    """NEE+MIS must converge to the SAME image as plain BSDF sampling
+    (unbiased) while cutting low-spp RMSE (the point of the feature)."""
+    cam, base, on = _cfgs(cornell)
+    a0 = _acc(cornell, cam, base, 192)
+    aN = _acc(cornell, cam, on, 192)
+    assert abs(a0.mean() - aN.mean()) < 0.012
+    ref = (a0 + aN) / 2
+    p8 = _acc(cornell, cam, base, 8, seed=9)
+    n8 = _acc(cornell, cam, on, 8, seed=9)
+    rmse_p = float(np.sqrt(((p8 - ref) ** 2).mean()))
+    rmse_n = float(np.sqrt(((n8 - ref) ** 2).mean()))
+    assert rmse_n < 0.75 * rmse_p, (rmse_n, rmse_p)
+
+
+def test_nee_deterministic(cornell):
+    cam, _, on = _cfgs(cornell, res=32, depth=4)
+    a = _acc(cornell, cam, on, 4)
+    b = _acc(cornell, cam, on, 4)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sphere_light(tmp_path):
+    """A uniform-scale emissive sphere is NEE-eligible (area 4*pi*r^2);
+    the NEE render matches the plain estimator's mean."""
+    f = tmp_path / "slight.txt"
+    f.write_text("""MATERIAL 0
+RGB 1 1 1
+EMITTANCE 8
+
+MATERIAL 1
+RGB .8 .8 .8
+
+CAMERA
+RES 32 32
+FOVY 45
+ITERATIONS 8
+DEPTH 4
+FILE slight
+EYE 0 2 6
+LOOKAT 0 2 0
+UP 0 1 0
+
+OBJECT 0
+sphere
+material 0
+TRANS 0 6 0
+ROTAT 0 0 0
+SCALE 1.5 1.5 1.5
+
+OBJECT 1
+cube
+material 1
+TRANS 0 -1 0
+ROTAT 0 0 0
+SCALE 12 .1 12
+""")
+    s = load_scene(str(f))
+    faces, area = nee.build_light_table(s)
+    assert len(faces) == 1 and faces[0][1] == 1.0
+    assert area == pytest.approx(4 * np.pi * 0.75 ** 2, rel=1e-4)
+    cam, base, on = _cfgs(s, res=32, depth=4)
+    a0 = _acc(s, cam, base, 160)
+    aN = _acc(s, cam, on, 160)
+    assert abs(a0.mean() - aN.mean()) < 0.03 * max(a0.mean(), 1e-6)
+
+
+def test_ineligible_scenes(tmp_path):
+    """Non-uniform-scale sphere lights (ellipsoids) make the whole scene
+    NEE-ineligible — all-or-nothing so the MIS pairing stays consistent."""
+    f = tmp_path / "ellip.txt"
+    f.write_text("""MATERIAL 0
+RGB 1 1 1
+EMITTANCE 4
+
+CAMERA
+RES 8 8
+FOVY 45
+ITERATIONS 2
+DEPTH 2
+FILE e
+EYE 0 0 5
+LOOKAT 0 0 0
+UP 0 1 0
+
+OBJECT 0
+sphere
+material 0
+TRANS 0 3 0
+ROTAT 0 0 0
+SCALE 2 1 1
+""")
+    s = load_scene(str(f))
+    faces, area = nee.build_light_table(s)
+    assert faces == () and area == 0.0
+
+
+def test_renderer_wiring(cornell):
+    """RenderSettings.nee flips the TraceConfig on (with the table), and
+    the sort/compact guard raises in trace_wavefront."""
+    st = T.RenderSettings(**{**cornell.settings.__dict__, "nee": True})
+    small = dataclasses.replace(cornell)
+    small.camera.resolution = (16, 16)
+    small.camera.derive()
+    r = I.Renderer(small, settings=st)
+    assert r.cfg.nee and len(r.cfg.nee_lights) == 6
+    r.render(2)  # runs end-to-end
+    bad = dataclasses.replace(r.cfg, sort_materials=True)
+    with pytest.raises(ValueError):
+        I.render_radiance(small.materials, small.camera.flat(), small.geoms,
+                          small.meshes, small.textures,
+                          jax.random.PRNGKey(0), bad)
+
+
+def test_nee_gradients(cornell):
+    """Gradients flow through the NEE direct term: d(image)/d(emittance)
+    is positive and finite, and albedo gradients stay finite."""
+    cam, _, on = _cfgs(cornell, res=24, depth=3)
+
+    def loss(mats):
+        img = I.render_radiance(mats, cam.flat(), cornell.geoms,
+                                cornell.meshes, cornell.textures,
+                                jax.random.PRNGKey(2), on)
+        return img.mean()
+
+    g = jax.grad(loss)(cornell.materials)
+    ge = np.asarray(g.emittance)
+    gc = np.asarray(g.color)
+    assert np.all(np.isfinite(ge)) and np.all(np.isfinite(gc))
+    assert ge[0] > 0  # material 0 is the cornell light
