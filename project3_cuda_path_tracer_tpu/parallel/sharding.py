@@ -150,10 +150,18 @@ class ShardedRenderer:
             glossy=bool(np.any(np.asarray(
                 scene.materials.specular_exponent) > 0)),
             sky=bool(float(np.asarray(scene.textures.sky)[0]) > 0),
+            russian_roulette=self.settings.russian_roulette,
             dof=bool(scene.camera.aperture > 0
                      and scene.camera.focal_distance > 0),
             motion=bool(scene.camera.shutter > 0),
         )
+        if getattr(self.settings, "nee", False):
+            from ..ops import nee as nee_mod
+            faces, area = nee_mod.build_light_table(scene)
+            if faces and not (self.cfg.sort_materials or self.cfg.compact):
+                import dataclasses
+                self.cfg = dataclasses.replace(
+                    self.cfg, nee=True, nee_lights=faces, nee_area=area)
         self.base_key = jax.random.key(self.settings.seed, impl=self.settings.rng)
         self.reset()
 

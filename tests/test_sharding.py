@@ -36,6 +36,21 @@ def test_sharded_matches_single_device(cornell_32):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_sharded_nee_matches_single_device(cornell_32):
+    """NEE's extra shadow pass + light sampling is lane-local, so the
+    sharded render must still match single-device (and RR must propagate
+    into the sharded config too — both flags flow via RenderSettings)."""
+    from project3_cuda_path_tracer_tpu.scene import types as T
+    st = T.RenderSettings(**{**cornell_32.settings.__dict__, "nee": True,
+                             "russian_roulette": True})
+    single = Renderer(cornell_32, settings=st)
+    single.render(4, seed=5)
+    sharded = ShardedRenderer(cornell_32, settings=st)
+    assert sharded.cfg.nee and sharded.cfg.russian_roulette
+    sharded.render(4, seed=5)
+    np.testing.assert_allclose(single.image(), sharded.image(), atol=1e-5)
+
+
 def test_accumulator_is_actually_sharded(cornell_32):
     sharded = ShardedRenderer(cornell_32)
     sharded.step()
