@@ -14,14 +14,11 @@ import zlib
 import numpy as np
 
 
-def write_png(path: str, rgb8: np.ndarray) -> None:
-    """Write an [H,W,3] uint8 array as PNG (native C++ encoder when built,
-    pure-zlib Python fallback)."""
+def encode_png(rgb8: np.ndarray) -> bytes:
+    """Encode an [H,W,3] uint8 array as PNG bytes (pure zlib — used by the
+    HTTP preview, which serves frames from memory)."""
     h, w, c = rgb8.shape
     assert c == 3 and rgb8.dtype == np.uint8
-    from . import native
-    if native.is_available() and native.write_png(path, rgb8):
-        return
     raw = b"".join(b"\x00" + rgb8[y].tobytes() for y in range(h))
 
     def chunk(tag: bytes, data: bytes) -> bytes:
@@ -29,10 +26,18 @@ def write_png(path: str, rgb8: np.ndarray) -> None:
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def write_png(path: str, rgb8: np.ndarray) -> None:
+    """Write an [H,W,3] uint8 array as PNG (native C++ encoder when built,
+    pure-zlib Python fallback)."""
+    from . import native
+    if native.is_available() and native.write_png(path, rgb8):
+        return
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(encode_png(rgb8))
 
 
 def read_png(path: str) -> np.ndarray:

@@ -58,3 +58,31 @@ def test_orbit_resets_accumulation(server):
     assert json.loads(resp.read())["ok"]
     # camera change resets accumulation (reference: src/main.cpp:102-120)
     assert r.iteration == 0
+
+
+def test_orbit_pan_moves_look_at(server):
+    """Middle/shift-drag pan (reference: src/main.cpp:194-204) via the
+    dpanx/dpany query params shifts lookAt in the ground plane."""
+    srv, r = server
+    before = np.asarray(r.scene.camera.look_at).copy()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/orbit?dpanx=0.5&dpany=0.25",
+        method="POST")
+    assert json.loads(urllib.request.urlopen(req, timeout=10).read())["ok"]
+    after = np.asarray(r.scene.camera.look_at)
+    assert not np.allclose(before, after)
+    assert after[1] == pytest.approx(before[1])  # ground-plane: y fixed
+
+
+def test_encode_png_roundtrip(tmp_path):
+    """encode_png (the in-memory form the preview serves) matches the
+    file writer byte semantics: read back == input."""
+    from project3_cuda_path_tracer_tpu.utils import image as img_io
+    rng = np.random.default_rng(0)
+    rgb8 = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    data = img_io.encode_png(rgb8)
+    p = tmp_path / "x.png"
+    p.write_bytes(data)
+    back = img_io.read_png(str(p))
+    np.testing.assert_allclose(back, rgb8.astype(np.float32) / 255.0,
+                               atol=1e-6)
