@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nee", action="store_true",
                    help="next-event estimation (direct-light sampling): "
                         "unbiased variance reduction for diffuse scenes")
+    p.add_argument("--denoise", action="store_true",
+                   help="edge-avoiding a-trous wavelet denoise at save "
+                        "time (Dammertz et al. 2010 — the course's own "
+                        "Project-4 follow-up)")
     p.add_argument("--sharded", action="store_true",
                    help="shard pixels across all visible devices")
     p.add_argument("--megakernel", action="store_true",
@@ -187,7 +191,7 @@ def main(argv=None) -> int:
         out_base = f"{base}.{ts}.{renderer.iteration}samp"
     else:
         out_base = base
-    out = renderer.save(out_base, hdr=args.hdr)
+    out = renderer.save(out_base, hdr=args.hdr, denoise=args.denoise)
     print(f"saved {out}", file=sys.stderr)
     if args.metrics:
         metrics.emit(final=True, output=out)

@@ -601,8 +601,20 @@ class MegakernelRenderer:
     def image(self) -> np.ndarray:
         return np.asarray(self.accum)[:, ::-1, :] / max(self.iteration, 1)
 
-    def save(self, path_base=None, hdr=False) -> str:
+    def save(self, path_base=None, hdr=False, denoise=False) -> str:
         from ..utils import image as img_io
         base = path_base or self.settings.image_name
-        return img_io.save_render(base, np.asarray(self.accum),
-                                  self.iteration, hdr=hdr)
+        accum = np.asarray(self.accum)
+        if denoise:
+            from ..render import denoise as dn
+            from ..render.integrator import TraceConfig
+            w, h = self.scene.camera.resolution
+            cfg = TraceConfig(
+                width=w, height=h, trace_depth=1,
+                geom_types=tuple(int(t) for t in
+                                 np.asarray(self.scene.geoms.type)))
+            normal, pos = dn.gbuffer(self.scene, cfg)
+            it = max(self.iteration, 1)
+            accum = np.asarray(dn.atrous_denoise(
+                jnp.asarray(accum) / it, normal, pos)) * it
+        return img_io.save_render(base, accum, self.iteration, hdr=hdr)

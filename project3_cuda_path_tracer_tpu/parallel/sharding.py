@@ -209,7 +209,18 @@ class ShardedRenderer:
         gathered = jax.device_get(self.accum)
         return np.asarray(gathered)[:, ::-1, :] / max(self.iteration, 1)
 
-    def save(self, path_base: Optional[str] = None, hdr: bool = False) -> str:
+    def save(self, path_base: Optional[str] = None, hdr: bool = False,
+             denoise: bool = False) -> str:
         base = path_base or self.settings.image_name
-        return img_io.save_render(base, jax.device_get(self.accum),
-                                  self.iteration, hdr=hdr)
+        accum = np.asarray(jax.device_get(self.accum))
+        if denoise:
+            # Post-process on the gathered host image (the denoiser is a
+            # save-time pass, not part of the SPMD loop).
+            from ..render import denoise as dn
+            normal, pos = dn.gbuffer(self.scene, self.cfg,
+                                     self.scene.packed_meshes)
+            it = max(self.iteration, 1)
+            accum = np.asarray(dn.atrous_denoise(
+                jnp.asarray(accum) / it, jax.device_get(normal),
+                jax.device_get(pos))) * it
+        return img_io.save_render(base, accum, self.iteration, hdr=hdr)

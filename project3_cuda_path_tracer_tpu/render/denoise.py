@@ -1,0 +1,97 @@
+"""Edge-avoiding à-trous wavelet denoiser (`--denoise`).
+
+The course's own follow-up project (CIS565 Project 4 is a CUDA denoiser)
+built on Dammertz et al. 2010, "Edge-Avoiding À-Trous Wavelet Transform
+for fast Global Illumination Filtering": a few sparse 5x5 B3-spline
+passes with exponentially growing tap spacing, each tap weighted by
+radiance / normal / world-position differences so filtering never
+crosses geometric edges.
+
+TPU design: one pass = 25 statically-shifted elementwise accumulations
+over the [H,W] planes (edge-clamped pad + slice — static shifts lower to
+cheap windowed reads, no gathers, no convolution op needed at this
+sparsity); XLA fuses each pass into a handful of elementwise kernels.
+G-buffers (first-hit normal / world position) come from the
+deterministic no-AA camera rays (render.integrator._first_hit_of), i.e.
+the same machinery as the first-bounce cache.
+
+Known limitation (inherent to first-hit G-buffers, same as the course
+project): radiance seen THROUGH mirrors/glass blurs, because the
+G-buffer describes the mirror surface, not the reflected geometry.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# 1-D B3 spline taps; the 5x5 kernel is their outer product.
+_B3 = (1.0 / 16.0, 1.0 / 4.0, 3.0 / 8.0, 1.0 / 4.0, 1.0 / 16.0)
+
+
+def _shift(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """[H,W,C] shifted by (dy,dx) with edge-clamped boundaries."""
+    h, w = a.shape[0], a.shape[1]
+    pad_y = (max(dy, 0), max(-dy, 0))
+    pad_x = (max(dx, 0), max(-dx, 0))
+    p = jnp.pad(a, (pad_y, pad_x, (0, 0)), mode="edge")
+    return jax.lax.dynamic_slice_in_dim(
+        jax.lax.dynamic_slice_in_dim(p, pad_y[1], h, axis=0),
+        pad_x[1], w, axis=1)
+
+
+@partial(jax.jit, static_argnames=("iterations",))
+def atrous_denoise(img: jnp.ndarray, normal: jnp.ndarray,
+                   pos: jnp.ndarray, iterations: int = 5,
+                   sigma_c: float = 4.0, sigma_n: float = 0.35,
+                   sigma_x: float = 0.6) -> jnp.ndarray:
+    """Denoise a [H,W,3] radiance image using [H,W,3] first-hit normal and
+    world-position G-buffers. Returns the filtered [H,W,3] image.
+
+    Per Dammertz et al. the radiance sigma halves each pass (the filtered
+    signal's noise shrinks), while the geometric sigmas stay fixed."""
+    img = jnp.asarray(img, jnp.float32)
+    normal = jnp.asarray(normal, jnp.float32)
+    pos = jnp.asarray(pos, jnp.float32)
+
+    for i in range(iterations):
+        step = 1 << i
+        sc2 = (sigma_c / (1 << i)) ** 2
+        acc = jnp.zeros_like(img)
+        wsum = jnp.zeros(img.shape[:2] + (1,), jnp.float32)
+        for ty, hy in enumerate(_B3):
+            for tx, hx in enumerate(_B3):
+                dy, dx = (ty - 2) * step, (tx - 2) * step
+                h = hy * hx
+                c_q = _shift(img, dy, dx)
+                n_q = _shift(normal, dy, dx)
+                x_q = _shift(pos, dy, dx)
+                dc = jnp.sum((img - c_q) ** 2, axis=-1, keepdims=True)
+                dn = jnp.sum((normal - n_q) ** 2, axis=-1, keepdims=True)
+                dxw = jnp.sum((pos - x_q) ** 2, axis=-1, keepdims=True)
+                w = h * jnp.exp(-dc / sc2 - dn / (sigma_n ** 2)
+                                - dxw / (sigma_x ** 2))
+                acc = acc + w * c_q
+                wsum = wsum + w
+        img = acc / jnp.maximum(wsum, 1e-8)
+    return img
+
+
+def gbuffer(scene, cfg, packed_meshes=()):
+    """First-hit [H,W,3] (normal, world position) G-buffers from the
+    deterministic (no-AA) camera rays. Miss lanes get normal 0 and a far
+    constant position, so background pixels only mix with each other."""
+    from . import integrator as I
+    hit = I._first_hit_of(scene.camera.flat(), scene.geoms, scene.meshes,
+                          cfg, packed_meshes)
+    h, w = cfg.height, cfg.width
+    miss = hit.t <= 0.0
+    def plane(v, far=0.0):
+        return jnp.where(miss, far, v).reshape(h, w)
+    normal = jnp.stack([plane(hit.normal.x), plane(hit.normal.y),
+                        plane(hit.normal.z)], axis=-1)
+    pos = jnp.stack([plane(hit.point.x, 1e6), plane(hit.point.y, 1e6),
+                     plane(hit.point.z, 1e6)], axis=-1)
+    return normal, pos

@@ -587,7 +587,18 @@ class Renderer:
         x-mirrored like saveImage, reference src/main.cpp:83-89)."""
         return np.asarray(self.accum)[:, ::-1, :] / max(self.iteration, 1)
 
-    def save(self, path_base: Optional[str] = None, hdr: bool = False) -> str:
+    def denoised_accum(self) -> np.ndarray:
+        """Accumulator filtered by the edge-avoiding à-trous denoiser
+        (render/denoise.py), same scale/orientation as `accum`."""
+        from . import denoise as dn
+        normal, pos = dn.gbuffer(self.scene, self.cfg,
+                                 self.scene.packed_meshes)
+        mean = jnp.asarray(self.accum) / max(self.iteration, 1)
+        out = dn.atrous_denoise(mean, normal, pos)
+        return np.asarray(out) * max(self.iteration, 1)
+
+    def save(self, path_base: Optional[str] = None, hdr: bool = False,
+             denoise: bool = False) -> str:
         base = path_base or self.settings.image_name
-        return img_io.save_render(base, np.asarray(self.accum),
-                                  self.iteration, hdr=hdr)
+        accum = self.denoised_accum() if denoise else np.asarray(self.accum)
+        return img_io.save_render(base, accum, self.iteration, hdr=hdr)
