@@ -117,6 +117,73 @@ SCALE 12 .1 12
     assert abs(a0.mean() - aN.mean()) < 0.03 * max(a0.mean(), 1e-6)
 
 
+def test_two_lights_union_cdf(tmp_path):
+    """Two differently-sized, differently-colored cube lights: the union
+    CDF must cover 12 faces with the correct total area, and the NEE
+    estimator must still match plain sampling (per-light pdf handled by
+    the area-proportional face choice + per-lane light material)."""
+    f = tmp_path / "two.txt"
+    f.write_text("""MATERIAL 0
+RGB 1 .2 .2
+EMITTANCE 6
+
+MATERIAL 1
+RGB .2 .2 1
+EMITTANCE 3
+
+MATERIAL 2
+RGB .8 .8 .8
+
+CAMERA
+RES 32 32
+FOVY 45
+ITERATIONS 8
+DEPTH 4
+FILE two
+EYE 0 2 7
+LOOKAT 0 2 0
+UP 0 1 0
+
+OBJECT 0
+cube
+material 0
+TRANS -2 5 0
+ROTAT 0 0 0
+SCALE 2 .2 2
+
+OBJECT 1
+cube
+material 1
+TRANS 2.5 5 0
+ROTAT 0 0 0
+SCALE 1 .2 1
+
+OBJECT 2
+cube
+material 2
+TRANS 0 -.5 0
+ROTAT 0 0 0
+SCALE 14 .1 14
+""")
+    s = load_scene(str(f))
+    faces, area = nee.build_light_table(s)
+    assert len(faces) == 12
+    # light 0: 2*(2*2)+4*(2*.2)=9.6 ; light 1: 2*1+4*.2=2.8
+    assert area == pytest.approx(9.6 + 2.8, rel=1e-5)
+    assert faces[-1][0] == 1.0
+    cam, base, on = _cfgs(s, res=32, depth=4)
+    a0 = _acc(s, cam, base, 192)
+    aN = _acc(s, cam, on, 192)
+    assert abs(a0.mean() - aN.mean()) < 0.03 * max(a0.mean(), 1e-6)
+    # both lights actually contribute color. The raw accumulator is
+    # x-mirrored (the save-time flip compensates — reference
+    # src/main.cpp:87), so the red light at world x=-2 lands on the
+    # RIGHT half of the raw buffer.
+    left = aN[:, :16, :].mean(axis=(0, 1))
+    right = aN[:, 16:, :].mean(axis=(0, 1))
+    assert right[0] > right[2] and left[2] > left[0]
+
+
 def test_ineligible_scenes(tmp_path):
     """Non-uniform-scale sphere lights (ellipsoids) make the whole scene
     NEE-ineligible — all-or-nothing so the MIS pairing stays consistent."""
