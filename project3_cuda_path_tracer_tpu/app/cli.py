@@ -107,6 +107,9 @@ def main(argv=None) -> int:
         renderer = ShardedRenderer(scene)
     elif args.megakernel:
         from ..ops.megakernel import MegakernelRenderer, supports
+        if args.nee:
+            print("nee: not supported by the megakernel renderer; ignored "
+                  "(use the default wavefront renderer)", file=sys.stderr)
         if not supports(scene):
             print("scene not megakernel-eligible (mesh/texture/env); "
                   "falling back to the jnp renderer", file=sys.stderr)
