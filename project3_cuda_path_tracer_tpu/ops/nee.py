@@ -148,6 +148,92 @@ def sample_lights_planar(faces: tuple, u_face, u1, u2):
     return lp, ln, lmat.astype(jnp.int32)
 
 
+_LUM = (0.2126, 0.7152, 0.0722)
+
+
+def build_env_alias(env: np.ndarray):
+    """Alias table for env-map importance sampling (env NEE).
+
+    `env` is the [He,We,3] equirect radiance image. Texel weights are
+    luminance * (exact texel solid angle), so the solid-angle pdf of any
+    direction d collapses to a CONSTANT times the luminance of d's
+    texel: pdf(d) = lum(d) * C, C = We / (2*pi * sum(lum*dcos)). That
+    makes the MIS weight on the BSDF side free: the miss path already
+    fetched the texel RGB.
+
+    Returns (alias [T] int32, prob [T] float32, C float) or None for a
+    black/absent env. Vose construction, vectorized-ish numpy; T = He*We.
+    """
+    he, we = env.shape[0], env.shape[1]
+    if he * we <= 1:
+        return None
+    lum = (env[..., 0] * _LUM[0] + env[..., 1] * _LUM[1]
+           + env[..., 2] * _LUM[2]).astype(np.float64)
+    # exact per-row solid angle: integral of sin over the texel band
+    edges = np.cos(np.arange(he + 1, dtype=np.float64) * math.pi / he)
+    dcos = edges[:-1] - edges[1:]
+    w = (lum * dcos[:, None]).reshape(-1)
+    total = w.sum()
+    if total <= 0:
+        return None
+    t = w.size
+    p = w / total * t
+    alias = np.arange(t, dtype=np.int64)
+    prob = p.copy()
+    small = [i for i in np.nonzero(p < 1.0)[0]]
+    large = [i for i in np.nonzero(p >= 1.0)[0]]
+    while small and large:
+        s, l = small.pop(), large.pop()
+        prob[s] = p[s]
+        alias[s] = l
+        p[l] = (p[l] + p[s]) - 1.0
+        (small if p[l] < 1.0 else large).append(l)
+    for i in small + large:
+        prob[i] = 1.0
+    # pdf(d) = P(texel)/dOmega(texel) = lum(d) * C with
+    # C = we / (2*pi * total) — EXACT because theta is sampled with
+    # cos(theta) linear within the band (see sample_env_planar).
+    c = we / (2.0 * math.pi * total)
+    return (alias.astype(np.int32), prob.astype(np.float32), float(c))
+
+
+def sample_env_planar(textures, u_idx, u_acc, u_x, u_y):
+    """Draw one env-map direction per lane from the alias table.
+
+    Returns (wl V3, le V3). Directions invert the equirect mapping of
+    ops/wavefront._env_flat_index; theta is sampled with cos(theta)
+    LINEAR within the texel band (uniform in solid angle), which is what
+    makes pdf(d) = env_lum(le) * C exact. Le is fetched via the
+    packed-RGBE plane when present (bitwise equal to the f32 planes)."""
+    from . import wavefront as wf  # _unpack_rgbe (no import cycle: lazy)
+    he, we = textures.env.shape[0], textures.env.shape[1]
+    t = he * we
+    i = jnp.clip((u_idx * t).astype(jnp.int32), 0, t - 1)
+    take_alias = u_acc >= jnp.take(textures.env_prob, i)
+    idx = jnp.where(take_alias, jnp.take(textures.env_alias, i), i)
+    y = (idx // we).astype(jnp.float32)
+    x = (idx % we).astype(jnp.float32)
+    c0 = jnp.cos(y * (math.pi / he))
+    c1 = jnp.cos((y + 1.0) * (math.pi / he))
+    ct = c0 + u_y * (c1 - c0)
+    st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+    a = ((x + u_x) / we - 0.5) * (2.0 * math.pi)
+    wl = V3(st * jnp.sin(a), ct, -st * jnp.cos(a))
+    if textures.env_packed.shape[0] == t:
+        le = wf._unpack_rgbe(jnp.take(textures.env_packed, idx),
+                             textures.env_enabled)
+    else:
+        le = V3(jnp.take(textures.env[:, :, 0].reshape(-1), idx),
+                jnp.take(textures.env[:, :, 1].reshape(-1), idx),
+                jnp.take(textures.env[:, :, 2].reshape(-1), idx))
+    return wl, le
+
+
+def env_lum(v: V3):
+    """Luminance plane matching build_env_alias' texel weights."""
+    return v.x * _LUM[0] + v.y * _LUM[1] + v.z * _LUM[2]
+
+
 def shadow_setup(p: V3, lp: V3, ln: V3, total_area: float):
     """Shadow-ray direction + area-form geometry term.
 

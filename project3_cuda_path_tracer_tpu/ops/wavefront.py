@@ -684,7 +684,8 @@ def reflect_planar(d: V3, n: V3) -> V3:
 def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
                  textures: T.Textures, uniforms: jnp.ndarray,
                  last_bounce, glossy: bool = True,
-                 sky: bool = True, nee=None) -> ShadeOutP:
+                 sky: bool = True, nee=None,
+                 nee_env: bool = False) -> ShadeOutP:
     """One scattering step over the wavefront; uniforms is [4,N].
 
     `glossy` / `sky` (static) gate the Phong-lobe and procedural-sky math —
@@ -699,7 +700,13 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
     collapses to raw/(1+raw) (raw = p_diff*cos_s*geom/pi — bounded, so
     the classic near-light 1/d^2 area-sampling spike cannot occur), and
     emissive BSDF hits are weighted prev_pdf/(prev_pdf + pdf_light(hit))
-    with prev_pdf==0 meaning full weight (camera/specular/glossy rays)."""
+    with prev_pdf==0 meaning full weight (camera/specular/glossy rays).
+
+    `nee_env` (static) switches to env-map NEE: the tuple becomes
+    (wl V3, vis [N] bool, le V3, prev_pdf [N], C float) — the sampled
+    env direction/radiance plus the pdf constant (pdf(d) = lum(d) * C,
+    ops/nee.py build_env_alias); env MISSES are MIS-weighted the same
+    way, for free, off the already-fetched texel."""
     mat_id = hit.mat_id
     albedo = _mat_select(materials.color, mat_id)
 
@@ -774,11 +781,12 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
     lit = alive & is_light
     mis = alive & missed
     rad_scale = jnp.where(lit, emittance, 0.0)
-    if nee is not None:
+    if nee is not None and not nee_env:
         # MIS-weight the emissive BSDF hit against the light-sampling pdf
         # of the SAME point (balance heuristic; the env miss term is
-        # untouched — NEE never samples the env map). prev_pdf == 0 means
-        # the previous event was camera/specular/glossy: full weight.
+        # untouched — area NEE never samples the env map). prev_pdf == 0
+        # means the previous event was camera/specular/glossy: full
+        # weight.
         prev_pdf, area = nee[4], nee[5]
         cos_l_hit = jnp.abs(vec.dot(hit.normal, ray_d))
         pdf_l_hit = (hit.t * hit.t) / jnp.maximum(cos_l_hit * area, 1e-9)
@@ -786,6 +794,16 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
                           prev_pdf / jnp.maximum(prev_pdf + pdf_l_hit,
                                                  1e-30), 1.0)
         rad_scale = rad_scale * w_hit
+    if nee is not None and nee_env:
+        # MIS-weight the env MISS against the env-sampling pdf of the
+        # same direction — free: pdf(d) = lum(fetched texel) * C.
+        from . import nee as nee_mod
+        prev_pdf, c_env = nee[3], nee[4]
+        pdf_env_dir = nee_mod.env_lum(env) * c_env
+        w_env = jnp.where(prev_pdf > 0.0,
+                          prev_pdf / jnp.maximum(prev_pdf + pdf_env_dir,
+                                                 1e-30), 1.0)
+        env = V3(env.x * w_env, env.y * w_env, env.z * w_env)
     radiance = V3(
         jnp.where(lit, throughput.x * albedo.x * rad_scale,
                   jnp.where(mis, throughput.x * env.x, 0.0)),
@@ -795,19 +813,29 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
                   jnp.where(mis, throughput.z * env.z, 0.0)))
 
     if nee is not None:
-        # Direct light through the surface's DIFFUSE component, area form
-        #   raw = p_diff * cos_s * (|cos_l| * A / d^2) / pi
+        # Direct light through the surface's DIFFUSE component. Area
+        # form: raw = p_diff * cos_s * (|cos_l| * A / d^2) / pi, and the
         # MIS balance weight vs the diffuse lobe's own pdf collapses to
-        # raw/(1+raw) — see the docstring. Skipped on the last bounce so
-        # the estimator covers exactly the transport of the plain
-        # estimator at equal depth (ops/nee.py).
-        wl, vis, geom_term, lmat = nee[0], nee[1], nee[2], nee[3]
-        le = _mat_select(materials.color, lmat)
-        le_scale = _mat_select(materials.emittance, lmat)
+        # raw/(1+raw) — see the docstring. Env form: the same balance as
+        # pdf_b/(pdf_l + pdf_b) with pdf_l = lum(le) * C. Skipped on the
+        # last bounce so the estimator covers exactly the transport of
+        # the plain estimator at equal depth (ops/nee.py).
+        wl, vis = nee[0], nee[1]
         cos_s = jnp.clip(vec.dot(hit.normal, wl), 0.0, None)
         nee_ok = alive & hit_ok & ~is_light & ~last_bounce & vis
-        raw = p_diff * (1.0 / jnp.pi) * cos_s * geom_term
-        w = jnp.where(nee_ok, raw / (1.0 + raw) * le_scale, 0.0)
+        if nee_env:
+            from . import nee as nee_mod
+            le, c_env = nee[2], nee[4]
+            pdf_b = p_diff * cos_s * (1.0 / jnp.pi)
+            pdf_l = nee_mod.env_lum(le) * c_env
+            w = jnp.where(nee_ok,
+                          pdf_b / jnp.maximum(pdf_l + pdf_b, 1e-30), 0.0)
+        else:
+            geom_term, lmat = nee[2], nee[3]
+            le = _mat_select(materials.color, lmat)
+            le_scale = _mat_select(materials.emittance, lmat)
+            raw = p_diff * (1.0 / jnp.pi) * cos_s * geom_term
+            w = jnp.where(nee_ok, raw / (1.0 + raw) * le_scale, 0.0)
         radiance = V3(radiance.x + throughput.x * albedo.x * le.x * w,
                       radiance.y + throughput.y * albedo.y * le.y * w,
                       radiance.z + throughput.z * albedo.z * le.z * w)

@@ -156,12 +156,7 @@ class ShardedRenderer:
             motion=bool(scene.camera.shutter > 0),
         )
         if getattr(self.settings, "nee", False):
-            from ..ops import nee as nee_mod
-            faces, area = nee_mod.build_light_table(scene)
-            if faces and not (self.cfg.sort_materials or self.cfg.compact):
-                import dataclasses
-                self.cfg = dataclasses.replace(
-                    self.cfg, nee=True, nee_lights=faces, nee_area=area)
+            self.cfg = integ._wire_nee(self.scene, self.cfg)
         self.base_key = jax.random.key(self.settings.seed, impl=self.settings.rng)
         self.reset()
 

@@ -145,6 +145,13 @@ class TraceConfig:
     nee: bool = False
     nee_lights: Tuple = ()
     nee_area: float = 0.0
+    # Env-map NEE mode (importance-sampled HDR environment; ops/nee.py
+    # build_env_alias): used instead of area lights when the scene is
+    # purely env-lit (no emissive geoms, no procedural sky — the sky
+    # term has no sampling table, mixing it in would bias the MIS
+    # weights). nee_env_c is the static pdf constant C.
+    nee_env: bool = False
+    nee_env_c: float = 0.0
 
 
 def trace_wavefront(
@@ -224,19 +231,23 @@ def trace_wavefront(
         last = depth >= (cfg.trace_depth - 1)
         nee_tuple = None
         if cfg.nee and nee_info is not None:
-            # (wl, vis, geom, lmat) from the bounce's shadow pass + the
-            # carried previous-scatter diffuse pdf + the static light
-            # area. A bounce WITHOUT a light sample (the cached depth-0
-            # path) shades plain — per-segment the estimator composes
-            # either way (ops/nee.py).
+            # The bounce's shadow-tested sample — area mode (wl, vis,
+            # geom, lmat) or env mode (wl, vis, le) — plus the carried
+            # previous-scatter diffuse pdf and the static pdf constant.
+            # A bounce WITHOUT a light sample (the cached depth-0 path)
+            # shades plain — per-segment the estimator composes either
+            # way (ops/nee.py).
             prev_pdf = state.prev_pdf if state.prev_pdf is not None \
                 else jnp.zeros((nl,), jnp.float32)
-            nee_tuple = nee_info + (prev_pdf, cfg.nee_area)
+            nee_tuple = nee_info + (
+                (prev_pdf, cfg.nee_env_c) if cfg.nee_env
+                else (prev_pdf, cfg.nee_area))
         out = wf.shade_planar(
             hit, state.direction, state.throughput, state.alive,
             materials, textures, uniforms,
             last_bounce=jnp.broadcast_to(last, state.alive.shape),
-            glossy=cfg.glossy, sky=cfg.sky, nee=nee_tuple)
+            glossy=cfg.glossy, sky=cfg.sky, nee=nee_tuple,
+            nee_env=cfg.nee_env)
         if cfg.nee and out.nee_pdf is None:
             out = out._replace(nee_pdf=jnp.zeros((nl,), jnp.float32))
         if cfg.sort_materials or cfg.compact:
@@ -297,7 +308,7 @@ def trace_wavefront(
                                       alive=state.alive,
                                       sdf_kinds=cfg.sdf_kinds)
             nee_info = None
-            if cfg.nee and cfg.nee_lights:
+            if cfg.nee and (cfg.nee_lights or cfg.nee_env):
                 # Direct-light sample + shadow pass (ops/nee.py). Keyed
                 # separately from the shade uniforms so enabling NEE does
                 # not shift the base sample stream.
@@ -305,20 +316,32 @@ def trace_wavefront(
                 if tile_idx is not None:
                     k_l = jax.random.fold_in(k_l, tile_idx)
                 n_loc = state.alive.shape[0]
-                u3 = jax.random.uniform(k_l, (3 * n_loc,), jnp.float32)
-                lp, ln, lmat = nee_mod.sample_lights_planar(
-                    cfg.nee_lights, u3[:n_loc], u3[n_loc:2 * n_loc],
-                    u3[2 * n_loc:])
-                wl, ldist, lgeom = nee_mod.shadow_setup(hit.point, lp, ln,
-                                                        cfg.nee_area)
-                sh = wf.intersect_planar(hit.point, wl, state.time, geoms,
-                                         meshes, geom_types, packed_meshes,
-                                         cfg.mesh_ids,
-                                         alive=state.alive,
-                                         sdf_kinds=cfg.sdf_kinds)
-                occluded = (sh.t > 0.0) & (sh.t < ldist * (1.0 - 1e-3)
-                                           - 1e-3)
-                nee_info = (wl, ~occluded, lgeom, lmat)
+                if cfg.nee_env:
+                    u4 = jax.random.uniform(k_l, (4 * n_loc,), jnp.float32)
+                    us = tuple(u4[i * n_loc:(i + 1) * n_loc]
+                               for i in range(4))
+                    wl, le = nee_mod.sample_env_planar(textures, *us)
+                    sh = wf.intersect_planar(hit.point, wl, state.time,
+                                             geoms, meshes, geom_types,
+                                             packed_meshes, cfg.mesh_ids,
+                                             alive=state.alive,
+                                             sdf_kinds=cfg.sdf_kinds)
+                    nee_info = (wl, sh.t <= 0.0, le)  # env: ANY hit blocks
+                else:
+                    u3 = jax.random.uniform(k_l, (3 * n_loc,), jnp.float32)
+                    lp, ln, lmat = nee_mod.sample_lights_planar(
+                        cfg.nee_lights, u3[:n_loc], u3[n_loc:2 * n_loc],
+                        u3[2 * n_loc:])
+                    wl, ldist, lgeom = nee_mod.shadow_setup(
+                        hit.point, lp, ln, cfg.nee_area)
+                    sh = wf.intersect_planar(hit.point, wl, state.time,
+                                             geoms, meshes, geom_types,
+                                             packed_meshes, cfg.mesh_ids,
+                                             alive=state.alive,
+                                             sdf_kinds=cfg.sdf_kinds)
+                    occluded = (sh.t > 0.0) & (sh.t < ldist * (1.0 - 1e-3)
+                                               - 1e-3)
+                    nee_info = (wl, ~occluded, lgeom, lmat)
             if cfg.remat_save == "hits":
                 from jax.ad_checkpoint import checkpoint_name
                 hit = jax.tree_util.tree_map(
@@ -462,6 +485,37 @@ def render_samples(scene: T.Scene, num_iterations: int,
     return np.asarray(accum)
 
 
+def _wire_nee(scene: T.Scene, cfg: TraceConfig) -> TraceConfig:
+    """Resolve RenderSettings.nee into a concrete TraceConfig mode:
+    area-light NEE when the scene has eligible emissive geoms, else
+    env-map NEE for a purely env-lit scene (HDR env present, procedural
+    sky off — the sky term has no sampling table). Builds the env alias
+    table into scene.textures on first use. Prints and stays plain when
+    neither applies (or sort/compact is active)."""
+    import sys
+    if cfg.sort_materials or cfg.compact:
+        print("nee: disabled (sort/compact active)", file=sys.stderr)
+        return cfg
+    faces, area = nee_mod.build_light_table(scene)
+    if faces:
+        return dataclasses.replace(cfg, nee=True, nee_lights=faces,
+                                   nee_area=area)
+    tx = scene.textures
+    env_present = tx.env.shape[0] > 1 or tx.env.shape[1] > 1
+    if env_present and not cfg.sky \
+            and float(np.asarray(tx.env_enabled)) > 0:
+        table = nee_mod.build_env_alias(np.asarray(tx.env))
+        if table is not None:
+            alias, prob, c = table
+            scene.textures = dataclasses.replace(
+                tx, env_alias=jnp.asarray(alias), env_prob=jnp.asarray(prob))
+            return dataclasses.replace(cfg, nee=True, nee_env=True,
+                                       nee_env_c=c)
+    print("nee: disabled (no eligible area lights and no importance-"
+          "sampleable env map)", file=sys.stderr)
+    return cfg
+
+
 class Renderer:
     """Host orchestrator (reference: pathtraceInit/pathtrace/pathtraceFree,
     src/pathtrace.h:6-8). Owns the device accumulation buffer and the
@@ -495,14 +549,7 @@ class Renderer:
             motion=bool(scene.camera.shutter > 0),
         )
         if getattr(self.settings, "nee", False):
-            faces, area = nee_mod.build_light_table(scene)
-            if faces and not (self.cfg.sort_materials or self.cfg.compact):
-                self.cfg = dataclasses.replace(
-                    self.cfg, nee=True, nee_lights=faces, nee_area=area)
-            else:
-                import sys
-                print("nee: disabled (no eligible area lights, or "
-                      "sort/compact active)", file=sys.stderr)
+            self.cfg = _wire_nee(scene, self.cfg)
         self.base_key = jax.random.key(self.settings.seed, impl=self.settings.rng)
         self.reset()
 

@@ -162,6 +162,12 @@ class Textures:
     # Shape (1,) = absent (fall back to the f32 planes).
     atlas_packed: jnp.ndarray = None  # [Ha*Wa] uint32
     env_packed: jnp.ndarray = None    # [He*We] uint32
+    # Env-map importance-sampling alias table (ops/nee.py env NEE):
+    # Vose alias method over texels weighted by luminance * solid angle.
+    # Shape (1,) = absent; built lazily by Renderer when settings.nee is
+    # on for an env-lit scene.
+    env_alias: jnp.ndarray = None     # [He*We] int32
+    env_prob: jnp.ndarray = None      # [He*We] float32
 
     def __post_init__(self):
         if self.atlas_packed is None:
@@ -170,6 +176,12 @@ class Textures:
         if self.env_packed is None:
             object.__setattr__(self, "env_packed",
                                jnp.zeros((1,), jnp.uint32))
+        if self.env_alias is None:
+            object.__setattr__(self, "env_alias",
+                               jnp.zeros((1,), jnp.int32))
+        if self.env_prob is None:
+            object.__setattr__(self, "env_prob",
+                               jnp.zeros((1,), jnp.float32))
 
     @staticmethod
     def none(num_materials: int) -> "Textures":

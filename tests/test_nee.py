@@ -214,6 +214,95 @@ SCALE 2 1 1
     assert faces == () and area == 0.0
 
 
+@pytest.fixture(scope="module")
+def env_scene(tmp_path_factory):
+    """Purely env-lit scene with a small bright 'sun' patch in a 16x32
+    synthetic HDR — the case env importance sampling exists for."""
+    from project3_cuda_path_tracer_tpu.utils import image as img_io
+    d = tmp_path_factory.mktemp("env")
+    env = np.full((16, 32, 3), 0.05, np.float32)
+    env[3:6, 8:12] = [20.0, 15.0, 5.0]
+    img_io.write_hdr(str(d / "env.hdr"), env)
+    (d / "s.txt").write_text(f"""ENVMAP {d}/env.hdr
+
+MATERIAL 0
+RGB .7 .7 .7
+
+CAMERA
+RES 48 48
+FOVY 45
+ITERATIONS 8
+DEPTH 4
+FILE e
+EYE 0 1.5 6
+LOOKAT 0 1 0
+UP 0 1 0
+
+OBJECT 0
+cube
+material 0
+TRANS 0 0 0
+ROTAT 0 20 0
+SCALE 2 2 2
+
+OBJECT 1
+cube
+material 0
+TRANS 0 -1.55 0
+ROTAT 0 0 0
+SCALE 16 .1 16
+""")
+    return load_scene(str(d / "s.txt"))
+
+
+def test_env_alias_pdf_exact(env_scene):
+    """E[1/pdf] over alias-table samples must equal the full sphere's
+    solid angle 4*pi (the pdf constant C and the cos-linear theta
+    sampling are exact, ops/nee.build_env_alias)."""
+    import jax
+    s = env_scene
+    alias, prob, c = nee.build_env_alias(np.asarray(s.textures.env))
+    tx = dataclasses.replace(s.textures, env_alias=jnp.asarray(alias),
+                             env_prob=jnp.asarray(prob))
+    n = 200_000
+    u = jax.random.uniform(jax.random.PRNGKey(0), (4 * n,))
+    wl, le = nee.sample_env_planar(tx, u[:n], u[n:2 * n],
+                                   u[2 * n:3 * n], u[3 * n:])
+    pdf = np.asarray(nee.env_lum(le)) * c
+    assert np.all(pdf > 0)
+    est = float(np.mean(1.0 / pdf))
+    assert est == pytest.approx(4 * np.pi, rel=0.02)
+    # directions are unit and invert the equirect mapping
+    norms = np.asarray(wl.x ** 2 + wl.y ** 2 + wl.z ** 2)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_env_nee_unbiased_and_lower_variance(env_scene):
+    s = env_scene
+    gt = tuple(int(t) for t in np.asarray(s.geoms.type))
+    base = I.TraceConfig(width=48, height=48, trace_depth=4,
+                         antialias=True, geom_types=gt,
+                         glossy=False, sky=False)
+    on = I._wire_nee(s, base)
+    assert on.nee and on.nee_env and on.nee_env_c > 0
+
+    def acc(cfg, iters, seed=1):
+        import jax
+        z = jnp.zeros((48, 48, 3), jnp.float32)
+        return np.asarray(I.render_chunk(
+            z, s.materials, s.camera.flat(), s.geoms, s.meshes, s.textures,
+            jax.random.PRNGKey(seed), 0, cfg, iters)) / iters
+
+    a0 = acc(base, 192)
+    aN = acc(on, 192)
+    assert abs(a0.mean() - aN.mean()) < 0.02
+    ref = (a0 + aN) / 2
+    p8, n8 = acc(base, 8, seed=9), acc(on, 8, seed=9)
+    rmse_p = float(np.sqrt(((p8 - ref) ** 2).mean()))
+    rmse_n = float(np.sqrt(((n8 - ref) ** 2).mean()))
+    assert rmse_n < 0.5 * rmse_p, (rmse_n, rmse_p)
+
+
 def test_renderer_wiring(cornell):
     """RenderSettings.nee flips the TraceConfig on (with the table), and
     the sort/compact guard raises in trace_wavefront."""
