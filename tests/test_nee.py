@@ -320,6 +320,28 @@ def test_renderer_wiring(cornell):
                           jax.random.PRNGKey(0), bad)
 
 
+def test_train_step_with_nee(cornell):
+    """The inverse-rendering train step composes with NEE (lower-variance
+    gradient estimation): one optimizer step runs, loss finite, params
+    move."""
+    import jax
+    from project3_cuda_path_tracer_tpu.models.inverse import (
+        RenderParams, make_train_step)
+    cam, _, on = _cfgs(cornell, res=24, depth=3)
+    opt, step = make_train_step(cornell.geoms, cornell.meshes,
+                                cornell.textures, on)
+    params = jax.tree_util.tree_map(
+        jnp.array, RenderParams(materials=cornell.materials,
+                                cam=cam.flat()))
+    before = np.asarray(params.materials.color).copy()
+    opt_state = opt.init(params)
+    target = jnp.zeros((24, 24, 3), jnp.float32)
+    params, opt_state, loss = step(params, opt_state,
+                                   jax.random.PRNGKey(0), target)
+    assert np.isfinite(float(loss))
+    assert not np.allclose(np.asarray(params.materials.color), before)
+
+
 def test_nee_gradients(cornell):
     """Gradients flow through the NEE direct term: d(image)/d(emittance)
     is positive and finite, and albedo gradients stay finite."""
