@@ -812,33 +812,8 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
         jnp.where(lit, throughput.z * albedo.z * rad_scale,
                   jnp.where(mis, throughput.z * env.z, 0.0)))
 
-    if nee is not None:
-        # Direct light through the surface's DIFFUSE component. Area
-        # form: raw = p_diff * cos_s * (|cos_l| * A / d^2) / pi, and the
-        # MIS balance weight vs the diffuse lobe's own pdf collapses to
-        # raw/(1+raw) — see the docstring. Env form: the same balance as
-        # pdf_b/(pdf_l + pdf_b) with pdf_l = lum(le) * C. Skipped on the
-        # last bounce so the estimator covers exactly the transport of
-        # the plain estimator at equal depth (ops/nee.py).
-        wl, vis = nee[0], nee[1]
-        cos_s = jnp.clip(vec.dot(hit.normal, wl), 0.0, None)
-        nee_ok = alive & hit_ok & ~is_light & ~last_bounce & vis
-        if nee_env:
-            from . import nee as nee_mod
-            le, c_env = nee[2], nee[4]
-            pdf_b = p_diff * cos_s * (1.0 / jnp.pi)
-            pdf_l = nee_mod.env_lum(le) * c_env
-            w = jnp.where(nee_ok,
-                          pdf_b / jnp.maximum(pdf_l + pdf_b, 1e-30), 0.0)
-        else:
-            geom_term, lmat = nee[2], nee[3]
-            le = _mat_select(materials.color, lmat)
-            le_scale = _mat_select(materials.emittance, lmat)
-            raw = p_diff * (1.0 / jnp.pi) * cos_s * geom_term
-            w = jnp.where(nee_ok, raw / (1.0 + raw) * le_scale, 0.0)
-        radiance = V3(radiance.x + throughput.x * albedo.x * le.x * w,
-                      radiance.y + throughput.y * albedo.y * le.y * w,
-                      radiance.z + throughput.z * albedo.z * le.z * w)
+    # (the NEE direct-light contribution is added after the lobe section —
+    # it evaluates the glossy lobe's pdf around the mirror axis)
 
     # --- lobe selection (detached) ----------------------------------------
     u_lobe = jax.lax.stop_gradient(uniforms[0])
@@ -848,6 +823,7 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
     n = hit.normal
     d_diff = cosine_hemisphere_planar(n, uniforms[1], uniforms[2])
     d_spec = reflect_planar(ray_d, n)
+    d_mirror = d_spec  # pure mirror axis (NEE glossy-lobe pdf evaluation)
 
     # Glossy Phong lobe: SPECEX > 0 widens the perfect mirror into a
     # cos^n lobe around the reflection direction (the Material.specular
@@ -904,6 +880,49 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
                  jax.lax.stop_gradient(new_dir.y),
                  jax.lax.stop_gradient(new_dir.z))
 
+    if nee is not None:
+        # Direct light through the surface's non-delta components, with
+        # per-component one-sample MIS (balance heuristic):
+        #   diffuse: albedo * le * pdf_bd / (pdf_l + pdf_bd)
+        #   glossy:  spec_color * le * q_l / (pdf_l + p_spec * q_l)
+        # where pdf_bd = p_diff*cos_s/pi, q_l = (e+1)/(2pi)*cos^e(angle
+        # to the mirror axis), and pdf_l is the light sampler's
+        # solid-angle pdf (area form 1/geom; env form lum*C). Skipped on
+        # the last bounce so the estimator covers exactly the transport
+        # of the plain estimator at equal depth (ops/nee.py).
+        wl, vis = nee[0], nee[1]
+        cos_s = jnp.clip(vec.dot(hit.normal, wl), 0.0, None)
+        nee_ok = alive & hit_ok & ~is_light & ~last_bounce & vis
+        if nee_env:
+            from . import nee as nee_mod
+            le_n, c_env = nee[2], nee[4]
+            pdf_l = jnp.maximum(nee_mod.env_lum(le_n) * c_env, 1e-20)
+        else:
+            geom_term, lmat = nee[2], nee[3]
+            le_rgb = _mat_select(materials.color, lmat)
+            le_scale = _mat_select(materials.emittance, lmat)
+            le_n = V3(le_rgb.x * le_scale, le_rgb.y * le_scale,
+                      le_rgb.z * le_scale)
+            pdf_l = 1.0 / jnp.maximum(geom_term, 1e-20)
+        pdf_bd = p_diff * cos_s * (1.0 / jnp.pi)
+        wd = jnp.where(nee_ok, pdf_bd / (pdf_l + pdf_bd + 1e-30), 0.0)
+        fx = albedo.x * wd
+        fy = albedo.y * wd
+        fz = albedo.z * wd
+        if glossy:
+            cos_al = jnp.clip(vec.dot(wl, d_mirror), 1e-9, 1.0)
+            q_l = ((spec_exp + 1.0) * (0.5 / jnp.pi)
+                   * jnp.power(cos_al, spec_exp))
+            q_l = jnp.where((spec_exp > 0.0) & (cos_s > 0.0), q_l, 0.0)
+            wg = jnp.where(nee_ok,
+                           q_l / (pdf_l + p_spec * q_l + 1e-30), 0.0)
+            fx = fx + spec_color.x * wg
+            fy = fy + spec_color.y * wg
+            fz = fz + spec_color.z * wg
+        radiance = V3(radiance.x + throughput.x * le_n.x * fx,
+                      radiance.y + throughput.y * le_n.y * fy,
+                      radiance.z + throughput.z * le_n.z * fz)
+
     inv_pd = 1.0 / jnp.maximum(p_diff, 1e-6)
     inv_ps = 1.0 / jnp.maximum(p_spec, 1e-6)
     inv_pr = 1.0 / jnp.maximum(p_refr, 1e-6)
@@ -928,10 +947,21 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
     still_alive = scattering & ~last_bounce
     nee_pdf = None
     if nee is not None:
+        # Strategy density of the CHOSEN lobe at the chosen direction —
+        # the next emissive hit / env miss is balance-weighted against
+        # the light sampler with this. 0 = delta lobes (mirror, refr,
+        # below-surface glossy fallback): full weight, NEE never covers
+        # them.
         take_diff_cont = still_alive & ~take_refr & ~take_spec
         cos_next = jnp.clip(vec.dot(n, new_dir), 0.0, None)
         nee_pdf = jnp.where(take_diff_cont,
                             p_diff * cos_next * (1.0 / jnp.pi), 0.0)
+        if glossy:
+            q_samp = ((spec_exp + 1.0) * (0.5 / jnp.pi)
+                      * jnp.power(jnp.clip(cos_a, 1e-9, 1.0), spec_exp))
+            gloss_cont = (still_alive & take_spec & (spec_exp > 0.0)
+                          & above)
+            nee_pdf = jnp.where(gloss_cont, p_spec * q_samp, nee_pdf)
     return ShadeOutP(origin=new_origin, direction=new_dir,
                      throughput=new_throughput, radiance=radiance,
                      alive=still_alive, nee_pdf=nee_pdf)

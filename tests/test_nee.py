@@ -303,6 +303,37 @@ def test_env_nee_unbiased_and_lower_variance(env_scene):
     assert rmse_n < 0.5 * rmse_p, (rmse_n, rmse_p)
 
 
+def test_glossy_nee_unbiased():
+    """The glossy Phong lobe participates in NEE MIS (per-component
+    balance): on the glossy cornell variant the NEE render must converge
+    to the plain estimator's image and cut low-spp RMSE."""
+    s = load_scene("scenes/cornell_glossy.txt")
+    s.camera.resolution = (48, 48)
+    s.camera.derive()
+    gt = tuple(int(t) for t in np.asarray(s.geoms.type))
+    base = I.TraceConfig(width=48, height=48, trace_depth=5,
+                         antialias=True, geom_types=gt,
+                         glossy=True, sky=False)
+    faces, area = nee.build_light_table(s)
+    on = dataclasses.replace(base, nee=True, nee_lights=faces,
+                             nee_area=area)
+
+    def acc(cfg, iters, seed=1):
+        z = jnp.zeros((48, 48, 3), jnp.float32)
+        return np.asarray(I.render_chunk(
+            z, s.materials, s.camera.flat(), s.geoms, s.meshes,
+            s.textures, jax.random.PRNGKey(seed), 0, cfg, iters)) / iters
+
+    a0 = acc(base, 256)
+    aN = acc(on, 256)
+    assert abs(a0.mean() - aN.mean()) < 0.015
+    ref = (a0 + aN) / 2
+    p8, n8 = acc(base, 8, seed=9), acc(on, 8, seed=9)
+    rmse_p = float(np.sqrt(((p8 - ref) ** 2).mean()))
+    rmse_n = float(np.sqrt(((n8 - ref) ** 2).mean()))
+    assert rmse_n < 0.8 * rmse_p, (rmse_n, rmse_p)
+
+
 def test_renderer_wiring(cornell):
     """RenderSettings.nee flips the TraceConfig on (with the table), and
     the sort/compact guard raises in trace_wavefront."""
