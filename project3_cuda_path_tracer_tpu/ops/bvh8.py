@@ -328,7 +328,8 @@ def enable_wide_bvh(scene) -> None:
 
 def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB,
                       ordered: str = "centroid", streams: int = 1,
-                      fused: bool = False, reduce_mode: str = "sum3"):
+                      fused: bool = False, reduce_mode: str = "sum3",
+                      any_hit: bool = False):
     """Kernel body: stack-based 8-wide traversal, `streams` independent
     packets per grid step.
 
@@ -472,6 +473,14 @@ def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB,
                     uu = jnp.where(hit_k, uk, uu)
                     vv = jnp.where(hit_k, vk, vv)
                     tri = jnp.where(hit_k, start + k, tri)
+                if any_hit:
+                    # Occlusion mode (NEE shadow rays): a lane with ANY
+                    # hit is done — collapse its t interval to ~0 so no
+                    # further node passes the slab test (tmin < t_best)
+                    # and the lane stops contributing to packet unions.
+                    # Kept small-POSITIVE: t_best = 0 is the dead-lane
+                    # sentinel and would read as "no hit" to the caller.
+                    t_best = jnp.where(tri >= 0, 1e-5, t_best)
                 return t_best, nx, ny, nz, uu, vv, tri
 
             t_best, nx, ny, nz, uu, vv, tri = jax.lax.cond(
@@ -635,10 +644,10 @@ def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB,
 @functools.partial(jax.jit,
                    static_argnames=("leaf_k", "max_steps", "interpret",
                                     "sub", "ordered", "streams", "fused",
-                                    "reduce_mode"))
+                                    "reduce_mode", "any_hit"))
 def _traverse8(qo_planes, qd_planes, t_bound, node_arrays, tris,
                leaf_k, max_steps, interpret, sub, ordered="centroid",
-               streams=1, fused=False, reduce_mode="sum3"):
+               streams=1, fused=False, reduce_mode="sum3", any_hit=False):
     n = qo_planes[0].shape[0]
     group = streams * sub * LANES
     assert n % group == 0
@@ -655,7 +664,7 @@ def _traverse8(qo_planes, qd_planes, t_bound, node_arrays, tris,
     plane_i = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
 
     kernel = _traverse8_kernel(leaf_k, max_steps, sub, ordered, streams,
-                               fused, reduce_mode)
+                               fused, reduce_mode, any_hit)
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -679,7 +688,8 @@ def traverse_packets8(qo, qd, packed: PackedMesh8, leaf_k: int = WIDE_LEAF_K,
                       max_steps: int = 2 ** 20, t_bound=None,
                       sub: int = SUB8, ordered: str = "centroid",
                       streams: int = 1, return_steps: bool = False,
-                      fused: bool = False, reduce_mode: str = "sum3"):
+                      fused: bool = False, reduce_mode: str = "sum3",
+                      any_hit: bool = False):
     """Nearest-hit over the 8-wide packed mesh; drop-in signature/return
     match for ops/pallas_bvh.traverse_packets (t_obj, (nx,ny,nz), u, v,
     tri with -1 = miss). `sub`*128 rays share one cursor+stack.
@@ -715,7 +725,7 @@ def traverse_packets8(qo, qd, packed: PackedMesh8, leaf_k: int = WIDE_LEAF_K,
     t, nx, ny, nz, u, v, tri, steps = _traverse8(
         tuple(qo), tuple(qd), t_bound, node_arrays,
         packed.tris, leaf_k, max_steps, interpret, sub, ordered, streams,
-        fused, reduce_mode)
+        fused, reduce_mode, any_hit)
     if pad:
         t, nx, ny, nz = t[:n], nx[:n], ny[:n], nz[:n]
         u, v, tri = u[:n], v[:n], tri[:n]

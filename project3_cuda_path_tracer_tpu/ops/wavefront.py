@@ -314,7 +314,8 @@ def _mesh_hit_packet(o: V3, d: V3, times, geoms: T.Geoms, packed,
                      tri_offset: int = 0,
                      t_world_bound=None,
                      alive=None,
-                     reorder: bool = False) -> HitP:
+                     reorder: bool = False,
+                     any_hit: bool = False) -> HitP:
     """MESH geom via the Pallas packet traversal (ops/pallas_bvh).
 
     The traversal kernel has no VJP; the winning TRIANGLE index is treated
@@ -343,8 +344,15 @@ def _mesh_hit_packet(o: V3, d: V3, times, geoms: T.Geoms, packed,
     # (ops/bvh8.PackedMesh8) and the binary skip-pointer tree share the
     # same tri table and nearest-hit semantics, so the choice is purely a
     # perf knob (scene.packed_meshes built by pack_all vs pack_all8).
-    traverse = (PB8.traverse_packets8 if isinstance(packed, PB8.PackedMesh8)
-                else PB.traverse_packets)
+    if isinstance(packed, PB8.PackedMesh8):
+        import functools as _ft
+        # occlusion mode (NEE shadow rays): lanes stop at their first
+        # accepted triangle — only the 8-wide kernel implements it; the
+        # binary kernel just runs nearest-hit (correct, unpruned).
+        traverse = (_ft.partial(PB8.traverse_packets8, any_hit=True)
+                    if any_hit else PB8.traverse_packets8)
+    else:
+        traverse = PB.traverse_packets
     sg = jax.lax.stop_gradient
     n = qo.x.shape[0]
     t_bound = jnp.full((n,), PB.BIG, jnp.float32)
@@ -472,7 +480,9 @@ def intersect_planar(o: V3, d: V3, times, geoms: T.Geoms,
                      mesh_ids: Tuple[int, ...] = (),
                      differentiable_mesh: bool = False,
                      alive=None,
-                     sdf_kinds: Tuple = ()) -> HitP:
+                     sdf_kinds: Tuple = (),
+                     any_hit: bool = False,
+                     max_t=None) -> HitP:
     """Nearest hit over all geoms (statically unrolled merge;
     reference loop: src/pathtrace.cu:176-199).
 
@@ -481,9 +491,18 @@ def intersect_planar(o: V3, d: V3, times, geoms: T.Geoms,
     the XLA gather walk. `alive` ([N] bool, optional) lets the packet
     traversal skip terminated paths entirely (their slab bound becomes the
     dead sentinel, shrinking packet node unions); primitive tests are
-    branchless per lane so masking would not speed them up."""
+    branchless per lane so masking would not speed them up.
+
+    Occlusion queries (NEE shadow rays): `any_hit=True` switches the
+    8-wide packet traversal to occlusion mode (a lane stops traversing at
+    its FIRST accepted triangle — only `t > 0` is meaningful, attributes
+    are garbage), and `max_t` ([N], optional) caps the search so hits
+    beyond the light report as miss (t = -1) and mesh subtrees beyond it
+    are pruned."""
     n = o.x.shape[0]
-    best = HitP(t=jnp.full((n,), BIG, jnp.float32),
+    t_init = (jnp.full((n,), BIG, jnp.float32) if max_t is None
+              else jnp.minimum(max_t, BIG))
+    best = HitP(t=t_init,
                 normal=V3(*(jnp.zeros((n,), jnp.float32),) * 3),
                 mat_id=jnp.zeros((n,), jnp.int32),
                 point=V3(*(jnp.zeros((n,), jnp.float32),) * 3),
@@ -523,11 +542,11 @@ def intersect_planar(o: V3, d: V3, times, geoms: T.Geoms,
                 o, d, times, geoms, packed_meshes[mid], g,
                 meshes=meshes, differentiable=differentiable_mesh,
                 tri_offset=meshes.mesh_tri_offset[mid],
-                t_world_bound=best.t, alive=alive)
+                t_world_bound=best.t, alive=alive, any_hit=any_hit)
         else:
             cand = _mesh_hit_planar(o, d, times, geoms, meshes, g)
         best = merge(best, cand)
-    miss = best.t >= BIG
+    miss = best.t >= t_init
     return best._replace(t=jnp.where(miss, -1.0, best.t),
                          mat_id=jnp.where(miss, 0, best.mat_id))
 

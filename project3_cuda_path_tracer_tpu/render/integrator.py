@@ -325,7 +325,8 @@ def trace_wavefront(
                                              geoms, meshes, geom_types,
                                              packed_meshes, cfg.mesh_ids,
                                              alive=state.alive,
-                                             sdf_kinds=cfg.sdf_kinds)
+                                             sdf_kinds=cfg.sdf_kinds,
+                                             any_hit=True)
                     nee_info = (wl, sh.t <= 0.0, le)  # env: ANY hit blocks
                 else:
                     u3 = jax.random.uniform(k_l, (3 * n_loc,), jnp.float32)
@@ -334,14 +335,13 @@ def trace_wavefront(
                         u3[2 * n_loc:])
                     wl, ldist, lgeom = nee_mod.shadow_setup(
                         hit.point, lp, ln, cfg.nee_area)
-                    sh = wf.intersect_planar(hit.point, wl, state.time,
-                                             geoms, meshes, geom_types,
-                                             packed_meshes, cfg.mesh_ids,
-                                             alive=state.alive,
-                                             sdf_kinds=cfg.sdf_kinds)
-                    occluded = (sh.t > 0.0) & (sh.t < ldist * (1.0 - 1e-3)
-                                               - 1e-3)
-                    nee_info = (wl, ~occluded, lgeom, lmat)
+                    sh = wf.intersect_planar(
+                        hit.point, wl, state.time, geoms, meshes,
+                        geom_types, packed_meshes, cfg.mesh_ids,
+                        alive=state.alive, sdf_kinds=cfg.sdf_kinds,
+                        any_hit=True,
+                        max_t=ldist * (1.0 - 1e-3) - 1e-3)
+                    nee_info = (wl, sh.t <= 0.0, lgeom, lmat)
             if cfg.remat_save == "hits":
                 from jax.ad_checkpoint import checkpoint_name
                 hit = jax.tree_util.tree_map(
