@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nee", action="store_true",
                    help="next-event estimation (direct-light sampling): "
                         "unbiased variance reduction for diffuse scenes")
+    p.add_argument("--stratified", action="store_true",
+                   help="stratified camera sampling (per-pixel rotated "
+                        "low-discrepancy AA/lens/time sequences)")
     p.add_argument("--denoise", action="store_true",
                    help="edge-avoiding a-trous wavelet denoise at save "
                         "time (Dammertz et al. 2010 — the course's own "
@@ -98,6 +101,7 @@ def main(argv=None) -> int:
     st.compact = args.compact
     st.russian_roulette = args.russian_roulette
     st.nee = args.nee
+    st.stratified = args.stratified
     st.seed = args.seed
 
     base = os.path.join(args.outdir, args.out or st.image_name)

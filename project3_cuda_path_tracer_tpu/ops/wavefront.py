@@ -37,9 +37,46 @@ BIG = jnp.float32(1e30)
 # Ray generation (reference: src/pathtrace.cu:122-143 + AA/DoF/motion TODOs)
 # ---------------------------------------------------------------------------
 
+def _hash01(idx: jnp.ndarray, salt: int) -> jnp.ndarray:
+    """Per-pixel uniform in [0,1) from an integer hash (utilhash-style,
+    reference src/intersections.h:12-20) — the fixed Cranley-Patterson
+    rotation for stratified camera sampling. Pure elementwise int ops."""
+    x = idx.astype(jnp.uint32) ^ jnp.uint32(salt)
+    x = (x ^ (x >> 16)) * jnp.uint32(0x45D9F3B)
+    x = (x ^ (x >> 16)) * jnp.uint32(0x45D9F3B)
+    x = x ^ (x >> 16)
+    return (x & jnp.uint32(0x00FFFFFF)).astype(jnp.float32) * (1.0 / (1 << 24))
+
+
+# R_d low-discrepancy sequences (generalized-golden-ratio rank-1
+# lattices, Roberts 2018): the i-th d-dim point is frac(0.5 + i * ALPHA_d).
+# With a per-pixel CP rotation each pixel sees its own shifted lattice
+# over iterations — variance in the stratified dims converges ~O(1/N)
+# instead of O(1/sqrt(N)).
+_R2A = (0.7548776662466927, 0.5698402909980532)
+_R3A = (0.8191725133961645, 0.6710436067037893, 0.5497004779019703)
+_R4A = (0.8566748838545029, 0.7338918566271259,
+        0.6287067210378086, 0.5385972572236101)
+_PHI_INV = 0.6180339887498949  # 1-D golden-ratio sequence (shutter time)
+
+
+def stratified_planes(iteration, depth, pixel_index, alphas, salt0: int):
+    """d stratified uniform planes for (iteration, depth, pixel): the
+    iteration-indexed R_d lattice point, CP-rotated by a per-(pixel,
+    depth) hash so every pixel/bounce slot owns an independent shifted
+    copy. Used for the NEE light-sample dims (render/integrator.py)."""
+    it_f = jnp.asarray(iteration, jnp.float32)
+    mix = pixel_index.astype(jnp.uint32) ^ (
+        jnp.asarray(depth, jnp.uint32) * jnp.uint32(0x9E3779B9))
+    return tuple(
+        jnp.mod(0.5 + it_f * a + _hash01(mix, salt0 + 101 * k), 1.0)
+        for k, a in enumerate(alphas))
+
+
 def generate_rays_planar(cam: dict, width: int, height: int, key: jax.Array,
                          antialias: bool = True, tile: int = 0,
-                         dof: bool = True, motion: bool = True):
+                         dof: bool = True, motion: bool = True,
+                         stratified: bool = False, iteration=None):
     """Primary rays as (origin V3, dir V3, time [N], pixel_index [N]).
 
     `tile` > 0 swizzles the path→pixel mapping into TxT image tiles so that
@@ -47,6 +84,13 @@ def generate_rays_planar(cam: dict, width: int, height: int, key: jax.Array,
     scan row — the coherence the Pallas packet BVH traversal needs (its
     packets are 1024 consecutive paths). pixel_index records the mapping;
     tile=0 is the reference's row-major identity (src/pathtrace.cu:128,140).
+
+    `stratified` (with the traced `iteration` index) replaces the random
+    camera-sample draws (AA jitter, lens disk, shutter time) with
+    per-pixel Cranley-Patterson-rotated low-discrepancy sequences —
+    deterministic, equidistributed over iterations, and pure elementwise
+    (no RNG bit-gen for those planes). Falls back to the random draws
+    when `iteration` is None (callers that don't track an index).
     """
     n = width * height
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -69,10 +113,25 @@ def generate_rays_planar(cam: dict, width: int, height: int, key: jax.Array,
     # consumer (same finding as the per-bounce uniforms,
     # render/integrator.py; BENCHMARKS.md round-2 profile).
     k_aa, k_lens, k_time = jax.random.split(key, 3)
+    strat = stratified and iteration is not None
+    if strat:
+        it_f = jnp.asarray(iteration, jnp.float32)
+
+        def r2(salt_a, salt_b):
+            ua = jnp.mod(0.5 + it_f * _R2A[0] + _hash01(pixel_index, salt_a),
+                         1.0)
+            ub = jnp.mod(0.5 + it_f * _R2A[1] + _hash01(pixel_index, salt_b),
+                         1.0)
+            return ua, ub
     if antialias:
-        jit_xy = jax.random.uniform(k_aa, (2 * n,), jnp.float32)
-        x = x + jit_xy[:n]
-        y = y + jit_xy[n:]
+        if strat:
+            u_ax, u_ay = r2(0x68BC21EB, 0x2C1B3C6D)
+            x = x + u_ax
+            y = y + u_ay
+        else:
+            jit_xy = jax.random.uniform(k_aa, (2 * n,), jnp.float32)
+            x = x + jit_xy[:n]
+            y = y + jit_xy[n:]
 
     view = vec.from_rows(cam["view"])
     right = vec.from_rows(cam["right"])
@@ -96,9 +155,13 @@ def generate_rays_planar(cam: dict, width: int, height: int, key: jax.Array,
     if dof:
         aperture = cam["aperture"]
         focal = cam["focal_distance"]
-        u_lens = jax.random.uniform(k_lens, (2 * n,), jnp.float32)
-        r = jnp.sqrt(u_lens[:n]) * aperture
-        phi = u_lens[n:] * TWO_PI
+        if strat:
+            u_l0, u_l1 = r2(0x51633E2D, 0x68E31DA4)
+        else:
+            u_lens = jax.random.uniform(k_lens, (2 * n,), jnp.float32)
+            u_l0, u_l1 = u_lens[:n], u_lens[n:]
+        r = jnp.sqrt(u_l0) * aperture
+        phi = u_l1 * TWO_PI
         lr, lu = r * jnp.cos(phi), r * jnp.sin(phi)
         o_dof = V3(o.x + right.x * lr + up.x * lu,
                    o.y + right.y * lr + up.y * lu,
@@ -111,7 +174,12 @@ def generate_rays_planar(cam: dict, width: int, height: int, key: jax.Array,
         d = vec.where(use_dof, d_dof, d)
 
     if motion:
-        times = jax.random.uniform(k_time, (n,), jnp.float32) * cam["shutter"]
+        if strat:
+            u_t = jnp.mod(0.5 + it_f * _PHI_INV
+                          + _hash01(pixel_index, 0x3504F333), 1.0)
+        else:
+            u_t = jax.random.uniform(k_time, (n,), jnp.float32)
+        times = u_t * cam["shutter"]
     else:
         times = jnp.zeros((n,), jnp.float32)
     return o, d, times, pixel_index

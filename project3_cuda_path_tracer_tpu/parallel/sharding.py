@@ -79,11 +79,13 @@ def shard_scene(scene: T.Scene, mesh: Mesh) -> T.Scene:
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("accum",))
 def render_step_sharded(accum, materials, cam, geoms, meshes, textures, key,
-                        cfg: integ.TraceConfig, packed_meshes=()):
+                        cfg: integ.TraceConfig, packed_meshes=(),
+                        iteration=None):
     """One sharded progressive iteration; `cfg.ray_sharding` carries the
     wavefront sharding and `accum` arrives sharded on its row dimension."""
     rad = integ.render_radiance(materials, cam, geoms, meshes, textures, key,
-                                cfg, packed_meshes=packed_meshes)
+                                cfg, packed_meshes=packed_meshes,
+                                iteration=iteration)
     return accum + rad
 
 
@@ -101,7 +103,8 @@ def render_chunk_sharded(accum, materials, cam, geoms, meshes, textures,
     def one(acc, i):
         key = jax.random.fold_in(base_key, start_iter + i)
         rad = integ.render_radiance(materials, cam, geoms, meshes, textures,
-                                    key, cfg, packed_meshes=packed_meshes)
+                                    key, cfg, packed_meshes=packed_meshes,
+                                    iteration=start_iter + i)
         return acc + rad, None
     out, _ = jax.lax.scan(one, accum, jnp.arange(chunk, dtype=jnp.int32))
     return out
@@ -151,6 +154,7 @@ class ShardedRenderer:
                 scene.materials.specular_exponent) > 0)),
             sky=bool(float(np.asarray(scene.textures.sky)[0]) > 0),
             russian_roulette=self.settings.russian_roulette,
+            stratified=getattr(self.settings, "stratified", False),
             dof=bool(scene.camera.aperture > 0
                      and scene.camera.focal_distance > 0),
             motion=bool(scene.camera.shutter > 0),
@@ -171,7 +175,8 @@ class ShardedRenderer:
         key = jax.random.fold_in(self.base_key, self.iteration)
         self.accum = render_step_sharded(
             self.accum, s.materials, s.camera.flat(), s.geoms, s.meshes,
-            s.textures, key, self.cfg, s.packed_meshes)
+            s.textures, key, self.cfg, s.packed_meshes,
+            iteration=jnp.asarray(self.iteration, jnp.int32))
         self.iteration += 1
 
     # iterations per device program in step_many (see integrator.Renderer)

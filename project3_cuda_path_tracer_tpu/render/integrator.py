@@ -152,6 +152,12 @@ class TraceConfig:
     # weights). nee_env_c is the static pdf constant C.
     nee_env: bool = False
     nee_env_c: float = 0.0
+    # Stratified camera sampling (--stratified): per-pixel Cranley-
+    # Patterson-rotated R2 low-discrepancy sequences for the AA jitter,
+    # lens disk, and shutter time (ops/wavefront.generate_rays_planar).
+    # Needs the iteration index threaded into the trace; deterministic
+    # and equidistributed — edge variance converges ~O(1/N).
+    stratified: bool = False
 
 
 def trace_wavefront(
@@ -164,6 +170,7 @@ def trace_wavefront(
     cfg: TraceConfig,
     first_hit: Optional[wf.HitP] = None,
     packed_meshes: tuple = (),
+    iteration=None,
 ) -> wf.V3:
     """Trace one full iteration; returns per-pixel radiance as a planar V3
     of [N] planes.
@@ -188,7 +195,9 @@ def trace_wavefront(
                                                k_gen,
                                                antialias=cfg.antialias,
                                                tile=cfg.tile,
-                                               dof=cfg.dof, motion=cfg.motion)
+                                               dof=cfg.dof, motion=cfg.motion,
+                                               stratified=cfg.stratified,
+                                               iteration=iteration)
     if cfg.ray_sharding is not None:
         shard = lambda a: jax.lax.with_sharding_constraint(a, cfg.ray_sharding)
         o = V3(*(shard(c) for c in o))
@@ -316,10 +325,21 @@ def trace_wavefront(
                 if tile_idx is not None:
                     k_l = jax.random.fold_in(k_l, tile_idx)
                 n_loc = state.alive.shape[0]
+                strat = cfg.stratified and iteration is not None
                 if cfg.nee_env:
-                    u4 = jax.random.uniform(k_l, (4 * n_loc,), jnp.float32)
-                    us = tuple(u4[i * n_loc:(i + 1) * n_loc]
-                               for i in range(4))
+                    if strat:
+                        # Stratify the light-sample dims: direct lighting
+                        # is the dominant low-spp variance, and the NEE
+                        # integrand is smooth in them (ops/wavefront.
+                        # stratified_planes).
+                        us = wf.stratified_planes(iteration, depth,
+                                                  state.pixel_index,
+                                                  wf._R4A, 0x1D872B41)
+                    else:
+                        u4 = jax.random.uniform(k_l, (4 * n_loc,),
+                                                jnp.float32)
+                        us = tuple(u4[i * n_loc:(i + 1) * n_loc]
+                                   for i in range(4))
                     wl, le = nee_mod.sample_env_planar(textures, *us)
                     sh = wf.intersect_planar(hit.point, wl, state.time,
                                              geoms, meshes, geom_types,
@@ -329,10 +349,17 @@ def trace_wavefront(
                                              any_hit=True)
                     nee_info = (wl, sh.t <= 0.0, le)  # env: ANY hit blocks
                 else:
-                    u3 = jax.random.uniform(k_l, (3 * n_loc,), jnp.float32)
+                    if strat:
+                        us3 = wf.stratified_planes(iteration, depth,
+                                                   state.pixel_index,
+                                                   wf._R3A, 0x7F4A7C15)
+                    else:
+                        u3 = jax.random.uniform(k_l, (3 * n_loc,),
+                                                jnp.float32)
+                        us3 = (u3[:n_loc], u3[n_loc:2 * n_loc],
+                               u3[2 * n_loc:])
                     lp, ln, lmat = nee_mod.sample_lights_planar(
-                        cfg.nee_lights, u3[:n_loc], u3[n_loc:2 * n_loc],
-                        u3[2 * n_loc:])
+                        cfg.nee_lights, *us3)
                     wl, ldist, lgeom = nee_mod.shadow_setup(
                         hit.point, lp, ln, cfg.nee_area)
                     sh = wf.intersect_planar(
@@ -415,12 +442,12 @@ def trace_wavefront(
 
 
 def render_radiance(materials, cam, geoms, meshes, textures, key, cfg,
-                    first_hit=None, packed_meshes=()):
+                    first_hit=None, packed_meshes=(), iteration=None):
     """One-iteration radiance image [H,W,3]; differentiable in
     (materials, cam). Path i maps to pixel (i % W, i // W)
     (reference: src/pathtrace.cu:128,140), so the reshape lands at [y, x]."""
     rad = trace_wavefront(materials, cam, geoms, meshes, textures, key, cfg,
-                          first_hit, packed_meshes)
+                          first_hit, packed_meshes, iteration=iteration)
     return jnp.stack([rad.x.reshape(cfg.height, cfg.width),
                       rad.y.reshape(cfg.height, cfg.width),
                       rad.z.reshape(cfg.height, cfg.width)], axis=-1)
@@ -428,11 +455,12 @@ def render_radiance(materials, cam, geoms, meshes, textures, key, cfg,
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("accum",))
 def render_step(accum, materials, cam, geoms, meshes, textures, key, cfg,
-                packed_meshes=()):
+                packed_meshes=(), iteration=None):
     """Progressive-accumulation step: accum += one iteration's radiance
     (finalGather, reference src/pathtrace.cu:269-278,381)."""
     return accum + render_radiance(materials, cam, geoms, meshes, textures,
-                                   key, cfg, packed_meshes=packed_meshes)
+                                   key, cfg, packed_meshes=packed_meshes,
+                                   iteration=iteration)
 
 
 def _first_hit_of(cam, geoms, meshes, cfg, packed_meshes=()):
@@ -447,11 +475,12 @@ def _first_hit_of(cam, geoms, meshes, cfg, packed_meshes=()):
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("accum",))
 def render_step_cached(accum, materials, cam, geoms, meshes, textures, key,
-                       cfg, first_hit, packed_meshes=()):
+                       cfg, first_hit, packed_meshes=(), iteration=None):
     """render_step with the cached depth-0 Hit (skips one full intersect)."""
     return accum + render_radiance(materials, cam, geoms, meshes, textures,
                                    key, cfg, first_hit=first_hit,
-                                   packed_meshes=packed_meshes)
+                                   packed_meshes=packed_meshes,
+                                   iteration=iteration)
 
 
 @partial(jax.jit, static_argnames=("cfg", "chunk"),
@@ -471,7 +500,8 @@ def render_chunk(accum, materials, cam, geoms, meshes, textures, base_key,
         key = jax.random.fold_in(base_key, start_iter + i)
         return acc + render_radiance(materials, cam, geoms, meshes,
                                      textures, key, cfg,
-                                     packed_meshes=packed_meshes), None
+                                     packed_meshes=packed_meshes,
+                                     iteration=start_iter + i), None
     out, _ = jax.lax.scan(one, accum, jnp.arange(chunk, dtype=jnp.int32))
     return out
 
@@ -544,6 +574,7 @@ class Renderer:
                 scene.materials.specular_exponent) > 0)),
             sky=bool(float(np.asarray(scene.textures.sky)[0]) > 0),
             russian_roulette=self.settings.russian_roulette,
+            stratified=getattr(self.settings, "stratified", False),
             dof=bool(scene.camera.aperture > 0
                      and scene.camera.focal_distance > 0),
             motion=bool(scene.camera.shutter > 0),
@@ -580,18 +611,19 @@ class Renderer:
         """One progressive iteration (one spp)."""
         s = self.scene
         key = jax.random.fold_in(self.base_key, self.iteration)
+        it = jnp.asarray(self.iteration, jnp.int32)
         if self.settings.first_bounce_cache:
             fh = self._cached_first_hit()
             if fh is not None:
                 self.accum = render_step_cached(
                     self.accum, s.materials, s.camera.flat(), s.geoms,
                     s.meshes, s.textures, key, self.cfg, fh,
-                    s.packed_meshes)
+                    s.packed_meshes, iteration=it)
                 self.iteration += 1
                 return
         self.accum = render_step(self.accum, s.materials, s.camera.flat(),
                                  s.geoms, s.meshes, s.textures, key,
-                                 self.cfg, s.packed_meshes)
+                                 self.cfg, s.packed_meshes, iteration=it)
         self.iteration += 1
 
     # Iterations per device program in step_many. One host dispatch costs

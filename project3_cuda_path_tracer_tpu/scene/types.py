@@ -271,6 +271,9 @@ class RenderSettings:
     # for diffuse scenes. Auto-disabled when the scene has no eligible
     # area lights (Renderer warns).
     nee: bool = False
+    # Stratified camera sampling: per-pixel CP-rotated low-discrepancy
+    # sequences for AA/lens/time (ops/wavefront; --stratified).
+    stratified: bool = False
     use_pallas: bool = True
     seed: int = 0
     # PRNG implementation: 'rbg' (XLA RngBitGenerator — much faster on TPU,

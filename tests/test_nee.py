@@ -422,6 +422,50 @@ SCALE 1.5 1.5 1.5
     assert aN.mean() > 0.01
 
 
+def test_stratified_nee_unbiased_and_lower_variance(cornell):
+    """--stratified replaces the NEE light-sample draws (and the camera
+    AA/lens/time draws) with per-pixel CP-rotated R_d lattices: the
+    estimator must converge to the same image with measurably lower
+    low-spp RMSE (measured 12-14% under NEE on cornell)."""
+    cam, _, on = _cfgs(cornell, res=48, depth=3)
+    strat = dataclasses.replace(on, stratified=True)
+
+    def acc(cfg, iters, seed=1):
+        z = jnp.zeros((48, 48, 3), jnp.float32)
+        return np.asarray(I.render_chunk(
+            z, cornell.materials, cam.flat(), cornell.geoms, cornell.meshes,
+            cornell.textures, jax.random.PRNGKey(seed), 0, cfg,
+            iters)) / iters
+
+    a0 = acc(on, 224)
+    aS = acc(strat, 224)
+    assert abs(a0.mean() - aS.mean()) < 0.012
+    ref = (a0 + aS) / 2
+    p16, s16 = acc(on, 16, seed=9), acc(strat, 16, seed=9)
+    rmse_p = float(np.sqrt(((p16 - ref) ** 2).mean()))
+    rmse_s = float(np.sqrt(((s16 - ref) ** 2).mean()))
+    assert rmse_s < 0.97 * rmse_p, (rmse_s, rmse_p)
+
+
+def test_stratified_step_chunk_stream_identical(cornell):
+    """The iteration index threads identically through step() (host loop)
+    and step_many()/render_chunk (device scan): with stratified sampling
+    on — where the index CHANGES the samples — both paths must produce
+    bitwise-identical accumulators."""
+    from project3_cuda_path_tracer_tpu.scene import types as T
+    st = T.RenderSettings(**{**cornell.settings.__dict__,
+                             "stratified": True, "nee": True})
+    small = dataclasses.replace(cornell)
+    small.camera.resolution = (16, 16)
+    small.camera.derive()
+    a = I.Renderer(small, settings=st)
+    for _ in range(5):
+        a.step()
+    b = I.Renderer(small, settings=st)
+    b.step_many(5)
+    np.testing.assert_array_equal(np.asarray(a.accum), np.asarray(b.accum))
+
+
 def test_renderer_wiring(cornell):
     """RenderSettings.nee flips the TraceConfig on (with the table), and
     the sort/compact guard raises in trace_wavefront."""
