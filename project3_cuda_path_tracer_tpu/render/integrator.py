@@ -225,10 +225,24 @@ def trace_wavefront(
         # counter-based stream than the [4, n] draw; threefry is bitwise
         # identical either way. Under vmem_tiles the key is additionally
         # folded with the tile index.
-        k_u = k_d if tile_idx is None else jax.random.fold_in(k_d, tile_idx)
-        u4 = jax.random.uniform(k_u, (4 * nl,), jnp.float32)
-        uniforms = tuple(u4[i * nl:(i + 1) * nl] for i in range(4))
-        if cfg.sort_materials or cfg.compact:
+        if cfg.stratified and iteration is not None:
+            # Padded-QMC per-bounce BSDF dims: each (pixel, depth) slot
+            # draws the iteration-indexed R4 lattice point under its own
+            # hash rotation (independent shifts across depths = standard
+            # padded replication; samples depend only on (pixel, depth,
+            # iteration), so they are permutation-invariant under
+            # sort/compact by construction — no pixel-keyed gather
+            # needed).
+            uniforms = wf.stratified_planes(iteration, depth,
+                                            state.pixel_index, wf._R4A,
+                                            0x2545F491)
+        else:
+            k_u = (k_d if tile_idx is None
+                   else jax.random.fold_in(k_d, tile_idx))
+            u4 = jax.random.uniform(k_u, (4 * nl,), jnp.float32)
+            uniforms = tuple(u4[i * nl:(i + 1) * nl] for i in range(4))
+        if (cfg.sort_materials or cfg.compact) \
+                and not (cfg.stratified and iteration is not None):
             # Key the sample stream on the path's pixel identity, not its
             # lane: path p draws uniforms[:, pixel(p)] wherever the sort
             # placed it, so the permuted estimator is BITWISE identical to
