@@ -60,23 +60,47 @@ _R4A = (0.8566748838545029, 0.7338918566271259,
 _PHI_INV = 0.6180339887498949  # 1-D golden-ratio sequence (shutter time)
 
 
-def stratified_planes(iteration, depth, pixel_index, alphas, salt0: int):
-    """d stratified uniform planes for (iteration, depth, pixel): the
-    iteration-indexed R_d lattice point, CP-rotated by a per-(pixel,
-    depth) hash so every pixel/bounce slot owns an independent shifted
-    copy. Used for the NEE light-sample dims (render/integrator.py)."""
+_ALPHAS = {1: (_PHI_INV,), 2: _R2A, 3: _R3A, 4: _R4A,
+           5: _R4A + (_PHI_INV,)}
+
+# "depth" slot used for the camera dims (distinct from bounce depths)
+CAMERA_SLOT = 0x7FFFFFFF
+
+
+def stratified_planes(iteration, depth, pixel_index, num_dims: int,
+                      salt0: int, impl: str = "lattice"):
+    """`num_dims` stratified uniform planes for (iteration, depth,
+    pixel). Two implementations, both deterministic and keyed only on
+    (iteration, depth, pixel) (so permutation-invariant under
+    sort/compact):
+
+      "lattice" — CP-rotated R_d rank-1 lattices; the default: its
+                  hash draws are CHEAPER than the rbg bit-gen they
+                  replace, so stratification is a net speedup.
+      "sobol"   — padded hash-based Owen-scrambled Sobol (0,2) pairs
+                  (ops/qmc.py): every power-of-2 sample prefix is
+                  perfectly stratified per pixel (best per-sample RMSE)
+                  but the 32-step bit expansion costs ~40%/iter on
+                  ALU-bound scenes — pick it when traversal dominates
+                  (BENCHMARKS.md A/B).
+    """
+    if impl == "sobol":
+        from . import qmc
+        return qmc.sample_planes(iteration, depth, pixel_index, num_dims,
+                                 salt0)
     it_f = jnp.asarray(iteration, jnp.float32)
     mix = pixel_index.astype(jnp.uint32) ^ (
         jnp.asarray(depth, jnp.uint32) * jnp.uint32(0x9E3779B9))
     return tuple(
         jnp.mod(0.5 + it_f * a + _hash01(mix, salt0 + 101 * k), 1.0)
-        for k, a in enumerate(alphas))
+        for k, a in enumerate(_ALPHAS[num_dims][:num_dims]))
 
 
 def generate_rays_planar(cam: dict, width: int, height: int, key: jax.Array,
                          antialias: bool = True, tile: int = 0,
                          dof: bool = True, motion: bool = True,
-                         stratified: bool = False, iteration=None):
+                         stratified: bool = False, iteration=None,
+                         strat_impl: str = "lattice"):
     """Primary rays as (origin V3, dir V3, time [N], pixel_index [N]).
 
     `tile` > 0 swizzles the path→pixel mapping into TxT image tiles so that
@@ -115,17 +139,12 @@ def generate_rays_planar(cam: dict, width: int, height: int, key: jax.Array,
     k_aa, k_lens, k_time = jax.random.split(key, 3)
     strat = stratified and iteration is not None
     if strat:
-        it_f = jnp.asarray(iteration, jnp.float32)
-
-        def r2(salt_a, salt_b):
-            ua = jnp.mod(0.5 + it_f * _R2A[0] + _hash01(pixel_index, salt_a),
-                         1.0)
-            ub = jnp.mod(0.5 + it_f * _R2A[1] + _hash01(pixel_index, salt_b),
-                         1.0)
-            return ua, ub
+        def draw(num, salt):
+            return stratified_planes(iteration, CAMERA_SLOT, pixel_index,
+                                     num, salt, impl=strat_impl)
     if antialias:
         if strat:
-            u_ax, u_ay = r2(0x68BC21EB, 0x2C1B3C6D)
+            u_ax, u_ay = draw(2, 0x68BC21EB)
             x = x + u_ax
             y = y + u_ay
         else:
@@ -156,7 +175,7 @@ def generate_rays_planar(cam: dict, width: int, height: int, key: jax.Array,
         aperture = cam["aperture"]
         focal = cam["focal_distance"]
         if strat:
-            u_l0, u_l1 = r2(0x51633E2D, 0x68E31DA4)
+            u_l0, u_l1 = draw(2, 0x51633E2D)
         else:
             u_lens = jax.random.uniform(k_lens, (2 * n,), jnp.float32)
             u_l0, u_l1 = u_lens[:n], u_lens[n:]
@@ -175,8 +194,7 @@ def generate_rays_planar(cam: dict, width: int, height: int, key: jax.Array,
 
     if motion:
         if strat:
-            u_t = jnp.mod(0.5 + it_f * _PHI_INV
-                          + _hash01(pixel_index, 0x3504F333), 1.0)
+            (u_t,) = draw(1, 0x3504F333)
         else:
             u_t = jax.random.uniform(k_time, (n,), jnp.float32)
         times = u_t * cam["shutter"]

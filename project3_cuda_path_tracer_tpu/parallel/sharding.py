@@ -155,6 +155,7 @@ class ShardedRenderer:
             sky=bool(float(np.asarray(scene.textures.sky)[0]) > 0),
             russian_roulette=self.settings.russian_roulette,
             stratified=getattr(self.settings, "stratified", False),
+            strat_impl=getattr(self.settings, "strat_impl", "lattice"),
             dof=bool(scene.camera.aperture > 0
                      and scene.camera.focal_distance > 0),
             motion=bool(scene.camera.shutter > 0),

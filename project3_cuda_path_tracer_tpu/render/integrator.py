@@ -158,6 +158,15 @@ class TraceConfig:
     # Needs the iteration index threaded into the trace; deterministic
     # and equidistributed — edge variance converges ~O(1/N).
     stratified: bool = False
+    # Sampler implementation under `stratified`. "lattice" (CP-rotated
+    # R_d lattices) is the TPU time-to-quality default: its hash draws
+    # are CHEAPER than the rbg bit-gen they replace (17.0 vs 19.1
+    # ms/iter on cornell+NEE). "sobol" (padded hash-based Owen-scrambled
+    # (0,2) pairs, ops/qmc.py) has strictly better per-sample RMSE but
+    # its 32-step bit expansion costs ~40% on ALU-bound primitive
+    # scenes — choose it where per-iteration cost is traversal-dominated
+    # (mesh scenes), BENCHMARKS.md.
+    strat_impl: str = "lattice"
 
 
 def trace_wavefront(
@@ -197,7 +206,8 @@ def trace_wavefront(
                                                tile=cfg.tile,
                                                dof=cfg.dof, motion=cfg.motion,
                                                stratified=cfg.stratified,
-                                               iteration=iteration)
+                                               iteration=iteration,
+                                               strat_impl=cfg.strat_impl)
     if cfg.ray_sharding is not None:
         shard = lambda a: jax.lax.with_sharding_constraint(a, cfg.ray_sharding)
         o = V3(*(shard(c) for c in o))
@@ -234,8 +244,9 @@ def trace_wavefront(
             # sort/compact by construction — no pixel-keyed gather
             # needed).
             uniforms = wf.stratified_planes(iteration, depth,
-                                            state.pixel_index, wf._R4A,
-                                            0x2545F491)
+                                            state.pixel_index, 4,
+                                            0x2545F491,
+                                            impl=cfg.strat_impl)
         else:
             k_u = (k_d if tile_idx is None
                    else jax.random.fold_in(k_d, tile_idx))
@@ -348,7 +359,8 @@ def trace_wavefront(
                         # stratified_planes).
                         us = wf.stratified_planes(iteration, depth,
                                                   state.pixel_index,
-                                                  wf._R4A, 0x1D872B41)
+                                                  4, 0x1D872B41,
+                                                  impl=cfg.strat_impl)
                     else:
                         u4 = jax.random.uniform(k_l, (4 * n_loc,),
                                                 jnp.float32)
@@ -366,7 +378,8 @@ def trace_wavefront(
                     if strat:
                         us3 = wf.stratified_planes(iteration, depth,
                                                    state.pixel_index,
-                                                   wf._R3A, 0x7F4A7C15)
+                                                   3, 0x7F4A7C15,
+                                                   impl=cfg.strat_impl)
                     else:
                         u3 = jax.random.uniform(k_l, (3 * n_loc,),
                                                 jnp.float32)
@@ -589,6 +602,7 @@ class Renderer:
             sky=bool(float(np.asarray(scene.textures.sky)[0]) > 0),
             russian_roulette=self.settings.russian_roulette,
             stratified=getattr(self.settings, "stratified", False),
+            strat_impl=getattr(self.settings, "strat_impl", "lattice"),
             dof=bool(scene.camera.aperture > 0
                      and scene.camera.focal_distance > 0),
             motion=bool(scene.camera.shutter > 0),

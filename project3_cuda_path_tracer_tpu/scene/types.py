@@ -271,9 +271,13 @@ class RenderSettings:
     # for diffuse scenes. Auto-disabled when the scene has no eligible
     # area lights (Renderer warns).
     nee: bool = False
-    # Stratified camera sampling: per-pixel CP-rotated low-discrepancy
-    # sequences for AA/lens/time (ops/wavefront; --stratified).
+    # Stratified sampling: per-pixel CP-rotated low-discrepancy
+    # sequences for the camera, NEE, and per-bounce BSDF dims
+    # (ops/wavefront; --stratified). strat_impl: "lattice" (default,
+    # net speedup) or "sobol" (Owen-scrambled (0,2) pairs, best
+    # per-sample RMSE; --sampler).
     stratified: bool = False
+    strat_impl: str = "lattice"
     use_pallas: bool = True
     seed: int = 0
     # PRNG implementation: 'rbg' (XLA RngBitGenerator — much faster on TPU,

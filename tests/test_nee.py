@@ -447,6 +447,31 @@ def test_stratified_nee_unbiased_and_lower_variance(cornell):
     assert rmse_s < 0.97 * rmse_p, (rmse_s, rmse_p)
 
 
+def test_sobol_sampler_estimator(cornell):
+    """strat_impl='sobol' (Owen-scrambled (0,2) pairs, ops/qmc.py) is a
+    drop-in: deterministic, converges to the same image, and at low spp
+    beats the random estimator under NEE."""
+    cam, _, on = _cfgs(cornell, res=48, depth=3)
+    sob = dataclasses.replace(on, stratified=True, strat_impl="sobol")
+
+    def acc(cfg, iters, seed=1):
+        z = jnp.zeros((48, 48, 3), jnp.float32)
+        return np.asarray(I.render_chunk(
+            z, cornell.materials, cam.flat(), cornell.geoms, cornell.meshes,
+            cornell.textures, jax.random.PRNGKey(seed), 0, cfg,
+            iters)) / iters
+
+    a0 = acc(on, 224)
+    aS = acc(sob, 224)
+    np.testing.assert_array_equal(aS, acc(sob, 224))  # deterministic
+    assert abs(a0.mean() - aS.mean()) < 0.012
+    ref = (a0 + aS) / 2
+    p16, s16 = acc(on, 16, seed=9), acc(sob, 16, seed=9)
+    rmse_p = float(np.sqrt(((p16 - ref) ** 2).mean()))
+    rmse_s = float(np.sqrt(((s16 - ref) ** 2).mean()))
+    assert rmse_s < 0.95 * rmse_p, (rmse_s, rmse_p)
+
+
 def test_stratified_step_chunk_stream_identical(cornell):
     """The iteration index threads identically through step() (host loop)
     and step_many()/render_chunk (device scan): with stratified sampling
