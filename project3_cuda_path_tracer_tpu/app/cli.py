@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stratified", action="store_true",
                    help="stratified sampling (per-pixel rotated "
                         "low-discrepancy camera/NEE/BSDF sequences)")
+    p.add_argument("--no-bake", action="store_true",
+                   help="keep scene tables as runtime arrays instead of "
+                        "baking them into the compiled program as "
+                        "constants (baking is a 1.35x forward win; "
+                        "disable when mutating the scene between steps)")
     p.add_argument("--sampler", choices=("lattice", "sobol"),
                    default="lattice",
                    help="stratified-sampling implementation: lattice "
@@ -109,6 +114,7 @@ def main(argv=None) -> int:
     st.nee = args.nee
     st.stratified = args.stratified
     st.strat_impl = args.sampler
+    st.bake_scene = not args.no_bake
     st.seed = args.seed
 
     base = os.path.join(args.outdir, args.out or st.image_name)

@@ -64,9 +64,26 @@ def unbiased_mse_grad_loss(params: RenderParams, geoms, meshes, textures,
     return 2.0 * jnp.mean((primal - target) * diff)
 
 
+def _bake_static_tables(geoms, textures, bake: bool):
+    """Convert the NON-differentiable scene tables to host constants so
+    XLA folds them (render/integrator.bake_tables rationale; 1.35x on the
+    cornell forward, which the train step runs 2-3x per step). The
+    differentiable params (materials, camera) are NOT touched — and geoms
+    baking means sdf_params/transforms cannot be differentiated through
+    this step (RenderParams never includes them)."""
+    if not bake:
+        return geoms, textures
+    geoms = jax.tree_util.tree_map(np.asarray, geoms)
+    tex_bytes = sum(a.size * a.dtype.itemsize
+                    for a in jax.tree_util.tree_leaves(textures))
+    if tex_bytes <= integ.BAKE_TEXTURE_LIMIT:
+        textures = jax.tree_util.tree_map(np.asarray, textures)
+    return geoms, textures
+
+
 def make_train_step(geoms, meshes, textures, cfg: integ.TraceConfig,
                     optimizer=None, unbiased: bool = True,
-                    packed_meshes=()):
+                    packed_meshes=(), bake: bool = True):
     """Build a jitted (params, opt_state, key, target) -> (params, opt_state,
     loss) step. Under a sharded jit the pixel loss is data-parallel and the
     replicated-parameter gradients get an automatic psum over the mesh.
@@ -77,6 +94,7 @@ def make_train_step(geoms, meshes, textures, cfg: integ.TraceConfig,
     import optax
     opt = optimizer or optax.adam(1e-2)
     loss_fn = unbiased_mse_grad_loss if unbiased else mse_loss
+    geoms, textures = _bake_static_tables(geoms, textures, bake)
 
     from functools import partial
 
@@ -94,7 +112,7 @@ def make_train_step(geoms, meshes, textures, cfg: integ.TraceConfig,
 
 def make_train_scan(geoms, meshes, textures, cfg: integ.TraceConfig,
                     num_steps: int, optimizer=None, unbiased: bool = True,
-                    packed_meshes=()):
+                    packed_meshes=(), bake: bool = True):
     """Build a jitted (params, opt_state, key, target) -> (params, opt_state,
     losses[num_steps]) function that runs `num_steps` optimizer steps in ONE
     device program via lax.scan — the production training-loop form. Per-step
@@ -108,6 +126,7 @@ def make_train_scan(geoms, meshes, textures, cfg: integ.TraceConfig,
     import optax
     opt = optimizer or optax.adam(1e-2)
     loss_fn = unbiased_mse_grad_loss if unbiased else mse_loss
+    geoms, textures = _bake_static_tables(geoms, textures, bake)
 
     @partial(jax.jit, donate_argnums=(0, 1), static_argnames=())
     def run(params: RenderParams, opt_state, key, target):

@@ -542,6 +542,32 @@ def render_samples(scene: T.Scene, num_iterations: int,
     return np.asarray(accum)
 
 
+# Bake textures into the program only below this size (bytes of f32
+# leaves): embedding multi-MB atlas/env tables as HLO literals bloats
+# compile time for no fold benefit (they are gather tables, not
+# elementwise operands).
+BAKE_TEXTURE_LIMIT = 1 << 20
+
+
+def bake_tables(scene: T.Scene):
+    """Host-constant copies of the scene tables for closure-baking.
+
+    Closure-captured NUMPY arrays lower as HLO literals, so XLA's
+    algebraic simplifier folds them through the pipeline — the transform
+    matrices' zeros/ones delete most of the object-space math and absent
+    texture features fold away entirely. Measured 1.35x on the cornell
+    forward (BENCHMARKS.md "Scene baking"). Returns (geoms_c,
+    materials_c, textures_c-or-None); textures above BAKE_TEXTURE_LIMIT
+    stay traced (None)."""
+    geoms_c = jax.tree_util.tree_map(np.asarray, scene.geoms)
+    mats_c = jax.tree_util.tree_map(np.asarray, scene.materials)
+    tex_bytes = sum(a.size * a.dtype.itemsize
+                    for a in jax.tree_util.tree_leaves(scene.textures))
+    tex_c = (jax.tree_util.tree_map(np.asarray, scene.textures)
+             if tex_bytes <= BAKE_TEXTURE_LIMIT else None)
+    return geoms_c, mats_c, tex_c
+
+
 def _wire_nee(scene: T.Scene, cfg: TraceConfig) -> TraceConfig:
     """Resolve RenderSettings.nee into a concrete TraceConfig mode:
     area-light NEE when the scene has eligible emissive geoms, else
@@ -610,7 +636,40 @@ class Renderer:
         if getattr(self.settings, "nee", False):
             self.cfg = _wire_nee(scene, self.cfg)
         self.base_key = jax.random.key(self.settings.seed, impl=self.settings.rng)
+        # Scene baking (after _wire_nee so env alias tables are included):
+        # the chunk program closes over host-constant scene tables; only
+        # the camera/accumulator/key stay traced (orbit never recompiles).
+        self._baked_chunk = (self._build_baked_chunk()
+                             if getattr(self.settings, "bake_scene", True)
+                             else None)
         self.reset()
+
+    def _build_baked_chunk(self):
+        s = self.scene
+        geoms_c, mats_c, tex_c = bake_tables(s)
+        cfg = self.cfg
+        meshes, pm = s.meshes, s.packed_meshes
+
+        @partial(jax.jit, static_argnames=("chunk",),
+                 donate_argnames=("accum",))
+        def baked(accum, cam, textures, base_key, start_iter, chunk):
+            def one(acc, i):
+                key = jax.random.fold_in(base_key, start_iter + i)
+                return acc + render_radiance(
+                    mats_c, cam, geoms_c, meshes,
+                    tex_c if tex_c is not None else textures, key, cfg,
+                    packed_meshes=pm, iteration=start_iter + i), None
+            out, _ = jax.lax.scan(one, accum,
+                                  jnp.arange(chunk, dtype=jnp.int32))
+            return out
+
+        def run(accum, chunk):
+            return baked(accum, s.camera.flat(),
+                         jnp.zeros((0,)) if tex_c is not None
+                         else s.textures,
+                         self.base_key,
+                         jnp.asarray(self.iteration, jnp.int32), chunk)
+        return run
 
     def reset(self) -> None:
         """Zero the accumulator (pathtraceInit semantics,
@@ -649,9 +708,13 @@ class Renderer:
                     s.packed_meshes, iteration=it)
                 self.iteration += 1
                 return
-        self.accum = render_step(self.accum, s.materials, s.camera.flat(),
-                                 s.geoms, s.meshes, s.textures, key,
-                                 self.cfg, s.packed_meshes, iteration=it)
+        if self._baked_chunk is not None:
+            self.accum = self._baked_chunk(self.accum, 1)
+        else:
+            self.accum = render_step(self.accum, s.materials,
+                                     s.camera.flat(), s.geoms, s.meshes,
+                                     s.textures, key, self.cfg,
+                                     s.packed_meshes, iteration=it)
         self.iteration += 1
 
     # Iterations per device program in step_many. One host dispatch costs
@@ -674,10 +737,13 @@ class Renderer:
         s = self.scene
         while n > 0:
             k = min(n, self.CHUNK)
-            self.accum = render_chunk(
-                self.accum, s.materials, s.camera.flat(), s.geoms, s.meshes,
-                s.textures, self.base_key, self.iteration, self.cfg, k,
-                s.packed_meshes)
+            if self._baked_chunk is not None:
+                self.accum = self._baked_chunk(self.accum, k)
+            else:
+                self.accum = render_chunk(
+                    self.accum, s.materials, s.camera.flat(), s.geoms,
+                    s.meshes, s.textures, self.base_key, self.iteration,
+                    self.cfg, k, s.packed_meshes)
             self.iteration += k
             n -= k
 

@@ -278,6 +278,12 @@ class RenderSettings:
     # per-sample RMSE; --sampler).
     stratified: bool = False
     strat_impl: str = "lattice"
+    # Bake the scene tables (geoms/materials/small textures) into the
+    # compiled program as constants so XLA folds the transform zeros
+    # and absent features — 1.35x on the cornell forward. Recompiles on
+    # scene (not camera) change; disable for workflows that mutate the
+    # scene tables between steps (--no-bake).
+    bake_scene: bool = True
     use_pallas: bool = True
     seed: int = 0
     # PRNG implementation: 'rbg' (XLA RngBitGenerator — much faster on TPU,
