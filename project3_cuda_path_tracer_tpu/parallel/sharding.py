@@ -162,8 +162,42 @@ class ShardedRenderer:
         )
         if getattr(self.settings, "nee", False):
             self.cfg = integ._wire_nee(self.scene, self.cfg)
+        # Scene baking (see integrator.bake_tables): the tables become
+        # replicated HLO constants under GSPMD; camera/accum/key stay
+        # traced. Built after _wire_nee so env alias tables are included.
+        self._baked_chunk = (self._build_baked_chunk()
+                             if getattr(self.settings, "bake_scene", True)
+                             else None)
         self.base_key = jax.random.key(self.settings.seed, impl=self.settings.rng)
         self.reset()
+
+    def _build_baked_chunk(self):
+        from functools import partial
+        s = self.scene
+        geoms_c, mats_c, tex_c = integ.bake_tables(s)
+        cfg = self.cfg
+        meshes, pm = s.meshes, s.packed_meshes
+
+        @partial(jax.jit, static_argnames=("chunk",),
+                 donate_argnames=("accum",))
+        def baked(accum, cam, textures, base_key, start_iter, chunk):
+            def one(acc, i):
+                key = jax.random.fold_in(base_key, start_iter + i)
+                return acc + integ.render_radiance(
+                    mats_c, cam, geoms_c, meshes,
+                    tex_c if tex_c is not None else textures, key, cfg,
+                    packed_meshes=pm, iteration=start_iter + i), None
+            out, _ = jax.lax.scan(one, accum,
+                                  jnp.arange(chunk, dtype=jnp.int32))
+            return out
+
+        def run(accum, chunk):
+            return baked(accum, s.camera.flat(),
+                         jnp.zeros((0,)) if tex_c is not None
+                         else s.textures,
+                         self.base_key,
+                         jnp.asarray(self.iteration, jnp.int32), chunk)
+        return run
 
     def reset(self) -> None:
         w, h = self.scene.camera.resolution
@@ -189,10 +223,13 @@ class ShardedRenderer:
         s = self.scene
         while n > 0:
             k = min(n, self.CHUNK)
-            self.accum = render_chunk_sharded(
-                self.accum, s.materials, s.camera.flat(), s.geoms, s.meshes,
-                s.textures, self.base_key, self.iteration, self.cfg, k,
-                s.packed_meshes)
+            if self._baked_chunk is not None:
+                self.accum = self._baked_chunk(self.accum, k)
+            else:
+                self.accum = render_chunk_sharded(
+                    self.accum, s.materials, s.camera.flat(), s.geoms,
+                    s.meshes, s.textures, self.base_key, self.iteration,
+                    self.cfg, k, s.packed_meshes)
             self.iteration += k
             n -= k
 
