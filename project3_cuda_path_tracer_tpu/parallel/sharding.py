@@ -215,7 +215,7 @@ class ShardedRenderer:
         self.iteration += 1
 
     # iterations per device program in step_many (see integrator.Renderer)
-    CHUNK = 16
+    CHUNK = 64
 
     def step_many(self, n: int) -> None:
         """Advance n iterations, scanning them in one SPMD program per

@@ -718,11 +718,14 @@ class Renderer:
         self.iteration += 1
 
     # Iterations per device program in step_many. One host dispatch costs
-    # ~25 ms over the remote-attached chip once any big program has run
-    # (the "dispatch tax", BENCHMARKS.md) — 2-3x a cornell iteration — so
-    # production rendering scans iterations on device and pays it once per
-    # chunk. 16 keeps compile time flat (the scan body is traced once).
-    CHUNK = 16
+    # ~25-200 ms over the remote-attached chip once any big program has
+    # run (the "dispatch tax", BENCHMARKS.md) — now MORE than a baked
+    # cornell iteration (5.95 ms device) — so production rendering scans
+    # iterations on device and pays it once per chunk. The scan body is
+    # traced once regardless of the trip count, so 64 costs the same
+    # compile as 16 and amortizes the tax 4x (measured 17.9 -> 9.4
+    # ms/iter in a heavy-tax session).
+    CHUNK = 64
 
     def step_many(self, n: int) -> None:
         """Advance `n` progressive iterations, scanning them on device in
