@@ -69,7 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard pixels across all visible devices")
     p.add_argument("--megakernel", action="store_true",
                    help="use the fused Pallas megakernel renderer "
-                        "(primitive scenes, fastest forward path)")
+                        "(primitive scenes; a measured ~2-4x slower "
+                        "alternative to XLA's fusion — kept as the "
+                        "hand-fusion experiment surface, BENCHMARKS.md)")
     p.add_argument("--preview", type=int, default=0, metavar="PORT",
                    help="serve a live HTTP preview on PORT")
     p.add_argument("--seed", type=int, default=0)
