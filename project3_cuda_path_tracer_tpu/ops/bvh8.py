@@ -110,13 +110,16 @@ STACK = 128        # SMEM stack entries (512 bytes); builder asserts it fits
 SUB8 = 16
 # Fat leaves: a whole binary SUBTREE whose triangles (contiguous in the
 # DFS perm order) number <= WIDE_LEAF_K becomes ONE leaf child.
-WIDE_LEAF_K = 8    # meta = start*32 + count (encoding allows up to 31).
+WIDE_LEAF_K = 4    # meta = start*32 + count (encoding allows up to 31).
 # Swept on v5e across rounds: 31 regressed (blob 720 -> 787 ms/iter),
-# 15 -> 9 -> 8 monotonically improved (431 -> 400 -> 390 ms/iter blob,
-# 519 -> 477 -> 469 textured_env_proc): the kernel is VECTOR-throughput
+# 15 -> 9 -> 8 -> 4 monotonically improved (431 -> 400 -> 390 -> 350
+# ms/iter blob, 421 -> 405 textured_env_proc at the 8 -> 4 step with the
+# binary tree rebuilt at leaf 4; 2 regressed to 376 — tools/exp_leaf4.py);
+# sub re-swept at this shape: 16 still optimal (8: 377, 32: 391).
+# The kernel is VECTOR-throughput
 # bound on wasted lanes (incoherent packets want few tris per leaf pop),
 # so the ~80-op Moller-Trumbore+interp unroll per tri costs more than the
-# extra pops a shallower merge causes. 8 = the binary SAH leaf max
+# extra pops a shallower merge causes. 4 = the binary SAH leaf max
 # (ops/intersect.LEAF_K), i.e. the merge only fuses single-leaf subtrees.
 
 

@@ -195,7 +195,13 @@ def primitive_hit_detail(ray_o, ray_d, times, geoms: T.Geoms, g_star) -> Hit:
 # Triangle meshes + BVH traversal (reference TODO slot: src/pathtrace.cu:188)
 # ---------------------------------------------------------------------------
 
-LEAF_K = 8  # BVH leaves hold at most LEAF_K triangles (static shape for TPU; 8 measured ~25% faster than 4 in packet traversal)
+# BVH leaves hold at most LEAF_K triangles (static shape for TPU). Tuned
+# for the DEFAULT 8-wide kernel (ops/bvh8): 4 beats 8 by 2.5-4% on v5e
+# (blob 359->350, textured_env_proc 421->405 ms/iter, tools/exp_leaf4.py)
+# because that kernel is vector-throughput bound on wasted leaf lanes.
+# The non-default BINARY packet kernel (ops/pallas_bvh) prefers 8 (~25%);
+# pass leaf_k=8 to scene.bvh.build_bvh when benchmarking that path.
+LEAF_K = 4
 MAX_TRAV_STEPS = 4096
 
 
