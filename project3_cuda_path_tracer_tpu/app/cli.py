@@ -119,6 +119,7 @@ def main(argv=None) -> int:
     st.bake_scene = not args.no_bake
     st.seed = args.seed
 
+    os.makedirs(args.outdir, exist_ok=True)
     base = os.path.join(args.outdir, args.out or st.image_name)
 
     if args.sharded:
