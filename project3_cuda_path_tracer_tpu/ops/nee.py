@@ -10,11 +10,16 @@ intersector, and add the area-form direct contribution
 
     throughput * p_diff * albedo/pi * Le * cos_s * cos_l / d^2 * A_total
 
-Diffuse-continuation rays then skip emissive hits at the next bounce
-(that light is already accounted), so the estimator stays unbiased and —
-because NEE is also skipped on the last bounce — covers EXACTLY the same
-transport as the plain estimator at equal trace depth (tested:
-tests/test_nee.py renders converge to the same image).
+Both strategies stay active and are combined with one-sample MIS
+(balance heuristic): the NEE term is weighted against the BSDF pdf of
+the same direction, and a diffuse/glossy-continuation ray that hits an
+emitter at the next bounce is down-weighted against the light sampler's
+pdf of that hit (ops/wavefront.shade_planar). Because NEE is skipped on
+the last bounce, the estimator covers EXACTLY the same transport as the
+plain estimator at equal trace depth (tested: tests/test_nee.py renders
+converge to the same image). Scenes with BOTH area lights and an HDR
+env run a flux-proportional one-sample mixture of the two light
+samplers (render/integrator._wire_nee's nee_q).
 
 TPU design decisions:
   * The light table is STATIC (a hashable tuple baked into TraceConfig):

@@ -37,6 +37,7 @@ import numpy as np
 from ..ops import compact as compaction
 from ..ops import nee as nee_mod
 from ..ops import wavefront as wf
+from ..ops import vec
 from ..ops.vec import V3
 from ..scene import types as T
 from ..utils import image as img_io
@@ -146,12 +147,23 @@ class TraceConfig:
     nee_lights: Tuple = ()
     nee_area: float = 0.0
     # Env-map NEE mode (importance-sampled HDR environment; ops/nee.py
-    # build_env_alias): used instead of area lights when the scene is
-    # purely env-lit (no emissive geoms, no procedural sky — the sky
-    # term has no sampling table, mixing it in would bias the MIS
-    # weights). nee_env_c is the static pdf constant C.
+    # build_env_alias): active when the scene has an HDR env and no
+    # procedural sky (the sky term has no sampling table, mixing it in
+    # would bias the MIS weights). nee_env_c is the static pdf constant C.
+    # When BOTH strategies are live (area lights AND an HDR env), each
+    # bounce picks the area union with probability nee_q (else the env) —
+    # a flux-proportional static mixture; each side's pdf is scaled by
+    # its selection probability in the MIS weights (ops/wavefront.
+    # shade_planar docstring has the unbiasedness argument). nee_q is 1
+    # in area-only mode and 0 in env-only mode.
     nee_env: bool = False
     nee_env_c: float = 0.0
+    nee_q: float = 1.0
+    # Bump / normal mapping (ops/wavefront.shade_planar): static gates so
+    # scenes without the feature pay nothing. nmap also makes the
+    # intersect stage produce uv tangents (intersect_planar tangents=).
+    bump: bool = False
+    nmap: bool = False
     # Stratified camera sampling (--stratified): per-pixel Cranley-
     # Patterson-rotated R2 low-discrepancy sequences for the AA jitter,
     # lens disk, and shutter time (ops/wavefront.generate_rays_planar).
@@ -265,23 +277,24 @@ def trace_wavefront(
         last = depth >= (cfg.trace_depth - 1)
         nee_tuple = None
         if cfg.nee and nee_info is not None:
-            # The bounce's shadow-tested sample — area mode (wl, vis,
-            # geom, lmat) or env mode (wl, vis, le) — plus the carried
-            # previous-scatter diffuse pdf and the static pdf constant.
-            # A bounce WITHOUT a light sample (the cached depth-0 path)
-            # shades plain — per-segment the estimator composes either
-            # way (ops/nee.py).
+            # The bounce's shadow-tested sample (wl, vis, le, pdf_eff)
+            # plus the carried previous-scatter BSDF pdf. A bounce
+            # WITHOUT a light sample (the cached depth-0 path) shades
+            # plain — per-segment the estimator composes either way
+            # (ops/nee.py).
             prev_pdf = state.prev_pdf if state.prev_pdf is not None \
                 else jnp.zeros((nl,), jnp.float32)
-            nee_tuple = nee_info + (
-                (prev_pdf, cfg.nee_env_c) if cfg.nee_env
-                else (prev_pdf, cfg.nee_area))
+            nee_tuple = nee_info + (prev_pdf,)
         out = wf.shade_planar(
             hit, state.direction, state.throughput, state.alive,
             materials, textures, uniforms,
             last_bounce=jnp.broadcast_to(last, state.alive.shape),
             glossy=cfg.glossy, sky=cfg.sky, nee=nee_tuple,
-            nee_env=cfg.nee_env)
+            nee_area=(cfg.nee_area if cfg.nee_lights else 0.0),
+            nee_env_c=(cfg.nee_env_c if cfg.nee_env else 0.0),
+            nee_q=(cfg.nee_q if (cfg.nee_lights and cfg.nee_env)
+                   else 1.0 if cfg.nee_lights else 0.0),
+            bump=cfg.bump, nmap=cfg.nmap)
         if cfg.nee and out.nee_pdf is None:
             out = out._replace(nee_pdf=jnp.zeros((nl,), jnp.float32))
         if cfg.sort_materials or cfg.compact:
@@ -295,12 +308,23 @@ def trace_wavefront(
         thr = out.throughput
         alive2 = out.alive
         if cfg.russian_roulette:
-            k_rr = jax.random.fold_in(k_d, 7)
-            if tile_idx is not None:
-                k_rr = jax.random.fold_in(k_rr, tile_idx)
-            u_rr = jax.random.uniform(k_rr, (nl,))
-            if cfg.sort_materials or cfg.compact:
-                u_rr = jnp.take(u_rr, state.pixel_index)  # path-keyed (above)
+            if cfg.stratified and iteration is not None:
+                # Stratify the survival draw too: the RR threshold is a
+                # smooth function of throughput, so equidistributing the
+                # test across iterations trims the kill-count variance
+                # (pixel/depth-keyed like every stratified dim — already
+                # permutation-invariant under sort/compact).
+                (u_rr,) = wf.stratified_planes(iteration, depth,
+                                               state.pixel_index, 1,
+                                               0x68E31DA4,
+                                               impl=cfg.strat_impl)
+            else:
+                k_rr = jax.random.fold_in(k_d, 7)
+                if tile_idx is not None:
+                    k_rr = jax.random.fold_in(k_rr, tile_idx)
+                u_rr = jax.random.uniform(k_rr, (nl,))
+                if cfg.sort_materials or cfg.compact:
+                    u_rr = jnp.take(u_rr, state.pixel_index)  # path-keyed
             q = jnp.clip(jnp.maximum(thr.x, jnp.maximum(thr.y, thr.z)),
                          0.05, 0.95)
             rr_on = depth >= 2
@@ -340,62 +364,91 @@ def trace_wavefront(
                                       packed_meshes, cfg.mesh_ids,
                                       cfg.differentiable_mesh,
                                       alive=state.alive,
-                                      sdf_kinds=cfg.sdf_kinds)
+                                      sdf_kinds=cfg.sdf_kinds,
+                                      tangents=cfg.nmap)
             nee_info = None
             if cfg.nee and (cfg.nee_lights or cfg.nee_env):
                 # Direct-light sample + shadow pass (ops/nee.py). Keyed
                 # separately from the shade uniforms so enabling NEE does
-                # not shift the base sample stream.
+                # not shift the base sample stream. Produces the strategy-
+                # agnostic tuple (wl, vis, le V3, pdf_eff) shade_planar
+                # consumes: pdf_eff is the sampler's solid-angle pdf times
+                # its selection probability (1 outside mixed mode).
                 k_l = jax.random.fold_in(k_d, 11)
                 if tile_idx is not None:
                     k_l = jax.random.fold_in(k_l, tile_idx)
                 n_loc = state.alive.shape[0]
                 strat = cfg.stratified and iteration is not None
-                if cfg.nee_env:
-                    if strat:
-                        # Stratify the light-sample dims: direct lighting
-                        # is the dominant low-spp variance, and the NEE
-                        # integrand is smooth in them (ops/wavefront.
-                        # stratified_planes).
-                        us = wf.stratified_planes(iteration, depth,
-                                                  state.pixel_index,
-                                                  4, 0x1D872B41,
-                                                  impl=cfg.strat_impl)
-                    else:
-                        u4 = jax.random.uniform(k_l, (4 * n_loc,),
-                                                jnp.float32)
-                        us = tuple(u4[i * n_loc:(i + 1) * n_loc]
-                                   for i in range(4))
-                    wl, le = nee_mod.sample_env_planar(textures, *us)
-                    sh = wf.intersect_planar(hit.point, wl, state.time,
-                                             geoms, meshes, geom_types,
-                                             packed_meshes, cfg.mesh_ids,
-                                             alive=state.alive,
-                                             sdf_kinds=cfg.sdf_kinds,
-                                             any_hit=True)
-                    nee_info = (wl, sh.t <= 0.0, le)  # env: ANY hit blocks
+                mixed = bool(cfg.nee_lights) and cfg.nee_env
+                ndim = 8 if mixed else (4 if cfg.nee_env else 3)
+                if strat:
+                    # Stratify the light-sample dims: direct lighting
+                    # is the dominant low-spp variance, and the NEE
+                    # integrand is smooth in them (ops/wavefront.
+                    # stratified_planes). Salts differ per mode so
+                    # enabling a mode never aliases another's lattice.
+                    salt = (0x5B7E9D23 if mixed
+                            else 0x1D872B41 if cfg.nee_env else 0x7F4A7C15)
+                    us = wf.stratified_planes(iteration, depth,
+                                              state.pixel_index,
+                                              ndim, salt,
+                                              impl=cfg.strat_impl)
                 else:
-                    if strat:
-                        us3 = wf.stratified_planes(iteration, depth,
-                                                   state.pixel_index,
-                                                   3, 0x7F4A7C15,
-                                                   impl=cfg.strat_impl)
-                    else:
-                        u3 = jax.random.uniform(k_l, (3 * n_loc,),
-                                                jnp.float32)
-                        us3 = (u3[:n_loc], u3[n_loc:2 * n_loc],
-                               u3[2 * n_loc:])
+                    uf = jax.random.uniform(k_l, (ndim * n_loc,),
+                                            jnp.float32)
+                    us = tuple(uf[i * n_loc:(i + 1) * n_loc]
+                               for i in range(ndim))
+
+                def _area_sample(us3):
                     lp, ln, lmat = nee_mod.sample_lights_planar(
                         cfg.nee_lights, *us3)
                     wl, ldist, lgeom = nee_mod.shadow_setup(
                         hit.point, lp, ln, cfg.nee_area)
-                    sh = wf.intersect_planar(
+                    le_rgb = wf._mat_select(materials.color, lmat)
+                    le_s = wf._mat_select(materials.emittance, lmat)
+                    le = V3(le_rgb.x * le_s, le_rgb.y * le_s,
+                            le_rgb.z * le_s)
+                    pdf = 1.0 / jnp.maximum(lgeom, 1e-20)
+                    return wl, ldist, le, pdf
+
+                def _shadow(wl, max_t=None):
+                    return wf.intersect_planar(
                         hit.point, wl, state.time, geoms, meshes,
                         geom_types, packed_meshes, cfg.mesh_ids,
                         alive=state.alive, sdf_kinds=cfg.sdf_kinds,
-                        any_hit=True,
-                        max_t=ldist * (1.0 - 1e-3) - 1e-3)
-                    nee_info = (wl, sh.t <= 0.0, lgeom, lmat)
+                        any_hit=True, max_t=max_t)
+
+                if mixed:
+                    # One-sample mixture: pick the area union with the
+                    # static probability q, the env map otherwise; ONE
+                    # shadow ray either way (env lanes get an unbounded
+                    # occlusion query — any hit blocks the sky).
+                    q = cfg.nee_q
+                    take_area = us[0] < q
+                    wl_a, ldist, le_a, pdf_a = _area_sample(us[1:4])
+                    wl_e, le_e = nee_mod.sample_env_planar(textures,
+                                                           *us[4:8])
+                    pdf_e = jnp.maximum(
+                        nee_mod.env_lum(le_e) * cfg.nee_env_c, 1e-20)
+                    wl = vec.where(take_area, wl_a, wl_e)
+                    le = vec.where(take_area, le_a, le_e)
+                    pdf = jnp.where(take_area, pdf_a * q,
+                                    pdf_e * (1.0 - q))
+                    max_t = jnp.where(take_area,
+                                      ldist * (1.0 - 1e-3) - 1e-3,
+                                      jnp.float32(wf.BIG))
+                    sh = _shadow(wl, max_t=max_t)
+                    nee_info = (wl, sh.t <= 0.0, le, pdf)
+                elif cfg.nee_env:
+                    wl, le = nee_mod.sample_env_planar(textures, *us)
+                    pdf = jnp.maximum(
+                        nee_mod.env_lum(le) * cfg.nee_env_c, 1e-20)
+                    sh = _shadow(wl)
+                    nee_info = (wl, sh.t <= 0.0, le, pdf)
+                else:
+                    wl, ldist, le, pdf = _area_sample(us)
+                    sh = _shadow(wl, max_t=ldist * (1.0 - 1e-3) - 1e-3)
+                    nee_info = (wl, sh.t <= 0.0, le, pdf)
             if cfg.remat_save == "hits":
                 from jax.ad_checkpoint import checkpoint_name
                 hit = jax.tree_util.tree_map(
@@ -497,7 +550,7 @@ def _first_hit_of(cam, geoms, meshes, cfg, packed_meshes=()):
                                              antialias=False, tile=cfg.tile)
     return wf.intersect_planar(o, d, times, geoms, meshes, cfg.geom_types,
                                packed_meshes, cfg.mesh_ids,
-                               sdf_kinds=cfg.sdf_kinds)
+                               sdf_kinds=cfg.sdf_kinds, tangents=cfg.nmap)
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("accum",))
@@ -570,30 +623,59 @@ def bake_tables(scene: T.Scene):
 
 def _wire_nee(scene: T.Scene, cfg: TraceConfig) -> TraceConfig:
     """Resolve RenderSettings.nee into a concrete TraceConfig mode:
-    area-light NEE when the scene has eligible emissive geoms, else
-    env-map NEE for a purely env-lit scene (HDR env present, procedural
-    sky off — the sky term has no sampling table). Builds the env alias
-    table into scene.textures on first use. Prints and stays plain when
+    area-light NEE when the scene has eligible emissive geoms, env-map
+    NEE when an importance-sampleable HDR env is present (procedural sky
+    off — the sky term has no sampling table), and the flux-proportional
+    MIXED mode when BOTH apply (each bounce picks the area union with
+    probability nee_q, the env otherwise). Builds the env alias table
+    into scene.textures on first use. Prints and stays plain when
     neither applies (or sort/compact is active)."""
     import sys
     if cfg.sort_materials or cfg.compact:
         print("nee: disabled (sort/compact active)", file=sys.stderr)
         return cfg
     faces, area = nee_mod.build_light_table(scene)
-    if faces:
-        return dataclasses.replace(cfg, nee=True, nee_lights=faces,
-                                   nee_area=area)
     tx = scene.textures
+    env_table = None
     env_present = tx.env.shape[0] > 1 or tx.env.shape[1] > 1
     if env_present and not cfg.sky \
             and float(np.asarray(tx.env_enabled)) > 0:
-        table = nee_mod.build_env_alias(np.asarray(tx.env))
-        if table is not None:
-            alias, prob, c = table
-            scene.textures = dataclasses.replace(
-                tx, env_alias=jnp.asarray(alias), env_prob=jnp.asarray(prob))
-            return dataclasses.replace(cfg, nee=True, nee_env=True,
-                                       nee_env_c=c)
+        env_table = nee_mod.build_env_alias(np.asarray(tx.env))
+    if env_table is not None:
+        alias, prob, c = env_table
+        scene.textures = dataclasses.replace(
+            tx, env_alias=jnp.asarray(alias), env_prob=jnp.asarray(prob))
+        if faces:
+            # Flux-proportional strategy split: area-side emitted power
+            # ~ pi * sum(A_i * lum(Le_i)); env-side power over the sphere
+            # = integral(lum) dOmega = 1/C (ops/nee.build_env_alias).
+            # Clipped so neither strategy starves — MIS keeps any split
+            # unbiased, the clip only bounds its variance.
+            lum_w = np.array(nee_mod._LUM)
+            col = np.asarray(scene.materials.color)
+            emit = np.asarray(scene.materials.emittance)
+
+            def _face_area(f):   # face record layout: ops/nee.py FACE_LEN
+                if f[1] >= 0.5:  # sphere: radius at [15]
+                    return 4.0 * np.pi * f[15] * f[15]
+                return float(np.linalg.norm(
+                    np.cross(np.array(f[5:8]), np.array(f[8:11]))))
+
+            flux_a = float(sum(
+                _face_area(f) * float(col[int(f[14])] @ lum_w)
+                * float(emit[int(f[14])])
+                for f in faces)) * float(np.pi)
+            flux_e = 1.0 / c
+            q = float(np.clip(flux_a / max(flux_a + flux_e, 1e-30),
+                              0.1, 0.9))
+            return dataclasses.replace(cfg, nee=True, nee_lights=faces,
+                                       nee_area=area, nee_env=True,
+                                       nee_env_c=c, nee_q=q)
+        return dataclasses.replace(cfg, nee=True, nee_env=True,
+                                   nee_env_c=c, nee_q=0.0)
+    if faces:
+        return dataclasses.replace(cfg, nee=True, nee_lights=faces,
+                                   nee_area=area)
     print("nee: disabled (no eligible area lights and no importance-"
           "sampleable env map)", file=sys.stderr)
     return cfg
@@ -626,6 +708,8 @@ class Renderer:
             glossy=bool(np.any(np.asarray(
                 scene.materials.specular_exponent) > 0)),
             sky=bool(float(np.asarray(scene.textures.sky)[0]) > 0),
+            bump=bool(np.any(np.asarray(scene.textures.bump)[:, 0] > 0)),
+            nmap=bool(np.any(np.asarray(scene.textures.nrm_id) >= 0)),
             russian_roulette=self.settings.russian_roulette,
             stratified=getattr(self.settings, "stratified", False),
             strat_impl=getattr(self.settings, "strat_impl", "lattice"),

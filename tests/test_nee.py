@@ -303,6 +303,120 @@ def test_env_nee_unbiased_and_lower_variance(env_scene):
     assert rmse_n < 0.5 * rmse_p, (rmse_n, rmse_p)
 
 
+@pytest.fixture(scope="module")
+def mixed_scene(tmp_path_factory):
+    """Area light AND an HDR env in one scene — the 3-way (BSDF / area /
+    env) mixed-NEE case (render/integrator._wire_nee nee_q mode)."""
+    from project3_cuda_path_tracer_tpu.utils import image as img_io
+    d = tmp_path_factory.mktemp("mixed")
+    env = np.full((16, 32, 3), 0.05, np.float32)
+    env[3:6, 8:12] = [20.0, 15.0, 5.0]
+    img_io.write_hdr(str(d / "env.hdr"), env)
+    (d / "s.txt").write_text(f"""ENVMAP {d}/env.hdr
+
+MATERIAL 0
+RGB .7 .7 .7
+
+MATERIAL 1
+RGB 1 0.9 0.8
+EMITTANCE 12
+
+CAMERA
+RES 48 48
+FOVY 45
+ITERATIONS 8
+DEPTH 4
+FILE m
+EYE 0 1.5 6
+LOOKAT 0 1 0
+UP 0 1 0
+
+OBJECT 0
+sphere
+material 0
+TRANS 0 1 0
+ROTAT 0 0 0
+SCALE 2 2 2
+
+OBJECT 1
+cube
+material 0
+TRANS 0 -1.05 0
+ROTAT 0 0 0
+SCALE 16 .1 16
+
+OBJECT 2
+cube
+material 1
+TRANS 2.5 3.5 1
+ROTAT 0 0 30
+SCALE 1 .1 1
+""")
+    return load_scene(str(d / "s.txt"))
+
+
+def test_mixed_nee_wiring(mixed_scene):
+    """With both an eligible area light and an HDR env, _wire_nee arms
+    BOTH strategies with a flux-proportional (clipped) split."""
+    s = mixed_scene
+    gt = tuple(int(t) for t in np.asarray(s.geoms.type))
+    base = I.TraceConfig(width=48, height=48, trace_depth=4,
+                         antialias=True, geom_types=gt,
+                         glossy=False, sky=False)
+    on = I._wire_nee(s, base)
+    assert on.nee and on.nee_env and on.nee_env_c > 0
+    assert len(on.nee_lights) == 6 and on.nee_area > 0
+    assert 0.1 <= on.nee_q <= 0.9
+
+
+def test_mixed_nee_unbiased_and_lower_variance(mixed_scene):
+    """The mixed estimator must converge to the plain BSDF-sampling
+    image (each transport path is covered by exactly two strategies
+    whose balance weights sum to 1) while cutting low-spp RMSE."""
+    s = mixed_scene
+    gt = tuple(int(t) for t in np.asarray(s.geoms.type))
+    base = I.TraceConfig(width=48, height=48, trace_depth=4,
+                         antialias=True, geom_types=gt,
+                         glossy=False, sky=False)
+    on = I._wire_nee(s, base)
+
+    def acc(cfg, iters, seed=1):
+        z = jnp.zeros((48, 48, 3), jnp.float32)
+        return np.asarray(I.render_chunk(
+            z, s.materials, s.camera.flat(), s.geoms, s.meshes, s.textures,
+            jax.random.PRNGKey(seed), 0, cfg, iters)) / iters
+
+    a0 = acc(base, 224)
+    aN = acc(on, 224)
+    assert abs(a0.mean() - aN.mean()) < 0.02, (a0.mean(), aN.mean())
+    ref = (a0 + aN) / 2
+    p8, n8 = acc(base, 8, seed=9), acc(on, 8, seed=9)
+    rmse_p = float(np.sqrt(((p8 - ref) ** 2).mean()))
+    rmse_n = float(np.sqrt(((n8 - ref) ** 2).mean()))
+    assert rmse_n < 0.7 * rmse_p, (rmse_n, rmse_p)
+
+
+def test_mixed_nee_stratified_runs(mixed_scene):
+    """Stratified mixed mode (8 light dims incl. the strategy pick) is
+    wired and unbiased at smoke-test scale."""
+    s = mixed_scene
+    gt = tuple(int(t) for t in np.asarray(s.geoms.type))
+    base = I.TraceConfig(width=48, height=48, trace_depth=4,
+                         antialias=True, geom_types=gt,
+                         glossy=False, sky=False)
+    on = I._wire_nee(s, dataclasses.replace(base, stratified=True))
+
+    def acc(cfg, iters, seed=1):
+        z = jnp.zeros((48, 48, 3), jnp.float32)
+        return np.asarray(I.render_chunk(
+            z, s.materials, s.camera.flat(), s.geoms, s.meshes, s.textures,
+            jax.random.PRNGKey(seed), 0, cfg, iters)) / iters
+
+    aS = acc(on, 64)
+    aP = acc(dataclasses.replace(base), 224)
+    assert abs(aS.mean() - aP.mean()) < 0.03, (aS.mean(), aP.mean())
+
+
 def test_glossy_nee_unbiased():
     """The glossy Phong lobe participates in NEE MIS (per-component
     balance): on the glossy cornell variant the NEE render must converge
