@@ -42,7 +42,7 @@ BIG = 1e30
 
 
 def supports(scene: T.Scene) -> bool:
-    """Static eligibility: primitives only, no textures, no env map."""
+    """Static eligibility: primitives only, no textures/env/bump maps."""
     types = np.asarray(scene.geoms.type)
     if (types == T.MESH).any() or (types == T.SDF).any():
         return False
@@ -50,6 +50,9 @@ def supports(scene: T.Scene) -> bool:
     if tx.atlas.shape[0] > 1 or tx.atlas.shape[1] > 1:
         return False
     if tx.env.shape[0] > 1 or tx.env.shape[1] > 1:
+        return False
+    if np.any(np.asarray(tx.bump)[:, 0] > 0) \
+            or np.any(np.asarray(tx.nrm_id) >= 0):
         return False
     return True
 

@@ -57,11 +57,15 @@ _R2A = (0.7548776662466927, 0.5698402909980532)
 _R3A = (0.8191725133961645, 0.6710436067037893, 0.5497004779019703)
 _R4A = (0.8566748838545029, 0.7338918566271259,
         0.6287067210378086, 0.5385972572236101)
+_R8A = (0.921599319633983, 0.8493453059498204,
+        0.7827560560976716, 0.721387448738994,
+        0.6648301819503516, 0.6127070433575812,
+        0.5646703942932961, 0.5203998511981547)
 _PHI_INV = 0.6180339887498949  # 1-D golden-ratio sequence (shutter time)
 
 
 _ALPHAS = {1: (_PHI_INV,), 2: _R2A, 3: _R3A, 4: _R4A,
-           5: _R4A + (_PHI_INV,)}
+           5: _R4A + (_PHI_INV,), 8: _R8A}
 
 # "depth" slot used for the camera dims (distinct from bounce depths)
 CAMERA_SLOT = 0x7FFFFFFF
@@ -223,6 +227,12 @@ class HitP(NamedTuple):
     u: jnp.ndarray       # [N] texture u
     v: jnp.ndarray       # [N] texture v
     outside: jnp.ndarray  # [N] bool
+    # World-space dP/du (unnormalized; only computed under
+    # intersect_planar(tangents=True), else None) — the uv-consistent
+    # tangent frame file-loaded normal maps need (shade_planar
+    # orthonormalizes against the normal and falls back to a
+    # normal-derived frame where |dP/du| degenerates, e.g. sphere poles).
+    tan: V3 = None
 
 
 def _box_local_planar(qo: V3, qd: V3):
@@ -276,7 +286,7 @@ def _sphere_local_planar(qo: V3, qd: V3):
 
 
 def _primitive_hit_planar(o: V3, d: V3, times, geoms: T.Geoms, g: int,
-                          gtype: int) -> HitP:
+                          gtype: int, tangents: bool = False) -> HitP:
     """One static primitive vs the wavefront, fully elementwise."""
     inv = geoms.inverse_transform[g]
     fwd = geoms.transform[g]
@@ -305,23 +315,37 @@ def _primitive_hit_planar(o: V3, d: V3, times, geoms: T.Geoms, g: int,
                   sf_world.z + velz * times)
     t_world = vec.norm(o - ip_world)
 
+    tan = None
     if gtype == T.CUBE:
         u = jnp.where(ex, ip_obj.y, ip_obj.x) + 0.5
         v = jnp.where(ez, ip_obj.y, ip_obj.z) + 0.5
+        if tangents:
+            # dP_obj/du follows the uv convention above: the +x faces
+            # parameterize u by object y, the others by object x.
+            zero = jnp.zeros_like(u)
+            t_obj_dir = V3(jnp.where(ex, 0.0, 1.0) + zero,
+                           jnp.where(ex, 1.0, 0.0) + zero, zero)
+            tan = vec.xform_dir(fwd, t_obj_dir)
     else:
         flip = jnp.where(outside, 1.0, -1.0)
         n_local = V3(ip_obj.x * flip, ip_obj.y * flip, ip_obj.z * flip)
         u = 0.5 + jnp.arctan2(ip_obj.z, ip_obj.x) / (2 * jnp.pi)
         v = 0.5 + jnp.arcsin(jnp.clip(ip_obj.y / 0.5, -1.0, 1.0)) / jnp.pi
+        if tangents:
+            # equirect dP_obj/du ~ d/du (cos, ., sin)(2*pi*u) ~ (-z, 0, x);
+            # degenerates at the poles (shade_planar falls back there)
+            tan = vec.xform_dir(fwd, V3(-ip_obj.z, jnp.zeros_like(u),
+                                        ip_obj.x))
 
     normal = vec.normalize(vec.xform_dir(inv_tr, n_local))
     return HitP(t=jnp.where(hit, t_world, BIG), normal=normal,
                 mat_id=jnp.broadcast_to(geoms.material_id[g], t_world.shape),
-                point=ip_world, surf=sf_world, u=u, v=v, outside=outside)
+                point=ip_world, surf=sf_world, u=u, v=v, outside=outside,
+                tan=tan)
 
 
 def _sdf_hit_planar(o: V3, d: V3, times, geoms: T.Geoms, g: int,
-                    kind) -> HitP:
+                    kind, tangents: bool = False) -> HitP:
     """One static SDF geom vs the wavefront (reference TODO alternative
     primitives: src/pathtrace.cu:188). Same object-space convention as
     `_primitive_hit_planar` — transform with the inverse, march along the
@@ -364,11 +388,16 @@ def _sdf_hit_planar(o: V3, d: V3, times, geoms: T.Geoms, g: int,
     # checker/texture shading on implicit surfaces)
     u = 0.5 + jnp.arctan2(n_local.z, n_local.x) / (2 * jnp.pi)
     v = 0.5 + jnp.arcsin(jnp.clip(n_local.y, -1.0, 1.0)) / jnp.pi
+    tan = None
+    if tangents:   # spherical-uv tangent, same convention as the sphere
+        tan = vec.xform_dir(fwd, V3(-n_local.z, jnp.zeros_like(u),
+                                    n_local.x))
 
     normal = vec.normalize(vec.xform_dir(inv_tr, n_local))
     return HitP(t=jnp.where(hit, t_world, BIG), normal=normal,
                 mat_id=jnp.broadcast_to(geoms.material_id[g], t_world.shape),
-                point=ip_world, surf=sf_world, u=u, v=v, outside=outside)
+                point=ip_world, surf=sf_world, u=u, v=v, outside=outside,
+                tan=tan)
 
 
 def _mesh_hit_planar(o: V3, d: V3, times, geoms: T.Geoms,
@@ -401,7 +430,8 @@ def _mesh_hit_packet(o: V3, d: V3, times, geoms: T.Geoms, packed,
                      t_world_bound=None,
                      alive=None,
                      reorder: bool = False,
-                     any_hit: bool = False) -> HitP:
+                     any_hit: bool = False,
+                     tangents: bool = False) -> HitP:
     """MESH geom via the Pallas packet traversal (ops/pallas_bvh).
 
     The traversal kernel has no VJP; the winning TRIANGLE index is treated
@@ -554,10 +584,35 @@ def _mesh_hit_packet(o: V3, d: V3, times, geoms: T.Geoms, packed,
     facing = vec.dot(normal, d) < 0
     normal = vec.where(facing, normal, -normal)
 
+    tan = None
+    if tangents:
+        # Per-triangle uv tangent (dP/du from the uv-edge system), the
+        # standard solve T = (e1*dv2 - e2*dv1)/det gathered by the
+        # detached winning-triangle index — mesh lanes only pay when the
+        # scene actually uses normal maps (cfg.nmap).
+        tri_g = jnp.maximum(tri, 0) + tri_offset
+        take3 = lambda a: vec.from_rows(jnp.take(a, tri_g, axis=0))
+        e1t = take3(meshes.tri_e1)
+        e2t = take3(meshes.tri_e2)
+        uv0 = jnp.take(meshes.tri_uv0, tri_g, axis=0)
+        uv1 = jnp.take(meshes.tri_uv1, tri_g, axis=0)
+        uv2 = jnp.take(meshes.tri_uv2, tri_g, axis=0)
+        du1 = uv1[:, 0] - uv0[:, 0]
+        dv1 = uv1[:, 1] - uv0[:, 1]
+        du2 = uv2[:, 0] - uv0[:, 0]
+        dv2 = uv2[:, 1] - uv0[:, 1]
+        det = du1 * dv2 - du2 * dv1
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        t_obj_dir = V3((e1t.x * dv2 - e2t.x * dv1) * inv_det,
+                       (e1t.y * dv2 - e2t.y * dv1) * inv_det,
+                       (e1t.z * dv2 - e2t.z * dv1) * inv_det)
+        tan = jax.tree_util.tree_map(sg, vec.xform_dir(fwd, t_obj_dir))
+
     return HitP(t=t_world, normal=normal,
                 mat_id=jnp.broadcast_to(geoms.material_id[g],
                                         t_world.shape),
-                point=ip_world, surf=sf_world, u=u, v=v, outside=facing)
+                point=ip_world, surf=sf_world, u=u, v=v, outside=facing,
+                tan=tan)
 
 
 def intersect_planar(o: V3, d: V3, times, geoms: T.Geoms,
@@ -568,7 +623,8 @@ def intersect_planar(o: V3, d: V3, times, geoms: T.Geoms,
                      alive=None,
                      sdf_kinds: Tuple = (),
                      any_hit: bool = False,
-                     max_t=None) -> HitP:
+                     max_t=None,
+                     tangents: bool = False) -> HitP:
     """Nearest hit over all geoms (statically unrolled merge;
     reference loop: src/pathtrace.cu:176-199).
 
@@ -588,6 +644,8 @@ def intersect_planar(o: V3, d: V3, times, geoms: T.Geoms,
     n = o.x.shape[0]
     t_init = (jnp.full((n,), BIG, jnp.float32) if max_t is None
               else jnp.minimum(max_t, BIG))
+    zero_tan = (V3(*(jnp.zeros((n,), jnp.float32),) * 3) if tangents
+                else None)
     best = HitP(t=t_init,
                 normal=V3(*(jnp.zeros((n,), jnp.float32),) * 3),
                 mat_id=jnp.zeros((n,), jnp.int32),
@@ -595,7 +653,8 @@ def intersect_planar(o: V3, d: V3, times, geoms: T.Geoms,
                 surf=V3(*(jnp.zeros((n,), jnp.float32),) * 3),
                 u=jnp.zeros((n,), jnp.float32),
                 v=jnp.zeros((n,), jnp.float32),
-                outside=jnp.ones((n,), bool))
+                outside=jnp.ones((n,), bool),
+                tan=zero_tan)
     def merge(best, cand):
         closer = cand.t < best.t
         return HitP(
@@ -606,7 +665,9 @@ def intersect_planar(o: V3, d: V3, times, geoms: T.Geoms,
             surf=vec.where(closer, cand.surf, best.surf),
             u=jnp.where(closer, cand.u, best.u),
             v=jnp.where(closer, cand.v, best.v),
-            outside=jnp.where(closer, cand.outside, best.outside))
+            outside=jnp.where(closer, cand.outside, best.outside),
+            tan=(vec.where(closer, cand.tan, best.tan) if tangents
+                 else None))
 
     # primitives first: their nearest hit becomes the meshes' occlusion
     # bound, letting the packet traversal prune subtrees behind known hits
@@ -615,10 +676,12 @@ def intersect_planar(o: V3, d: V3, times, geoms: T.Geoms,
             continue
         if gtype == T.SDF:
             best = merge(best, _sdf_hit_planar(o, d, times, geoms, g,
-                                               sdf_kinds[g]))
+                                               sdf_kinds[g],
+                                               tangents=tangents))
         else:
             best = merge(best, _primitive_hit_planar(o, d, times, geoms, g,
-                                                     gtype))
+                                                     gtype,
+                                                     tangents=tangents))
     for g, gtype in enumerate(geom_types):
         if gtype != T.MESH:
             continue
@@ -628,9 +691,17 @@ def intersect_planar(o: V3, d: V3, times, geoms: T.Geoms,
                 o, d, times, geoms, packed_meshes[mid], g,
                 meshes=meshes, differentiable=differentiable_mesh,
                 tri_offset=meshes.mesh_tri_offset[mid],
-                t_world_bound=best.t, alive=alive, any_hit=any_hit)
+                t_world_bound=best.t, alive=alive, any_hit=any_hit,
+                tangents=tangents)
         else:
             cand = _mesh_hit_planar(o, d, times, geoms, meshes, g)
+            if tangents:
+                # XLA-walk fallback has no per-tri uv gather here; a
+                # zero tangent makes shade_planar use its normal-derived
+                # frame (documented fallback).
+                cand = cand._replace(tan=V3(jnp.zeros_like(cand.t),
+                                            jnp.zeros_like(cand.t),
+                                            jnp.zeros_like(cand.t)))
         best = merge(best, cand)
     miss = best.t >= t_init
     return best._replace(t=jnp.where(miss, -1.0, best.t),
@@ -671,15 +742,19 @@ def _mat_select(table: jnp.ndarray, mat_id: jnp.ndarray):
     return V3(*accs)
 
 
-def _atlas_flat_index(textures: T.Textures, mat_id, u, v):
-    """(flat texel index [N] int32, textured mask) for the atlas fetch."""
-    rect = textures.rect
+def _atlas_flat_index(textures: T.Textures, mat_id, u, v,
+                      rect=None, tid_table=None):
+    """(flat texel index [N] int32, textured mask) for the atlas fetch.
+    `rect`/`tid_table` default to the color-texture tables; normal maps
+    pass textures.nrm_rect/nrm_id (same strip, own rows)."""
+    rect = textures.rect if rect is None else rect
+    tid_table = textures.tex_id if tid_table is None else tid_table
     # unrolled per-material rect select (static M, no [N] gathers)
     rx = _mat_select(rect[:, 0].astype(jnp.float32), mat_id)
     ry = _mat_select(rect[:, 1].astype(jnp.float32), mat_id)
     rw = _mat_select(rect[:, 2].astype(jnp.float32), mat_id)
     rh = _mat_select(rect[:, 3].astype(jnp.float32), mat_id)
-    tid = _mat_select(textures.tex_id.astype(jnp.float32), mat_id)
+    tid = _mat_select(tid_table.astype(jnp.float32), mat_id)
 
     uu = u - jnp.floor(u)
     vv = v - jnp.floor(v)
@@ -790,28 +865,39 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
                  textures: T.Textures, uniforms: jnp.ndarray,
                  last_bounce, glossy: bool = True,
                  sky: bool = True, nee=None,
-                 nee_env: bool = False) -> ShadeOutP:
+                 nee_area: float = 0.0, nee_env_c: float = 0.0,
+                 nee_q: float = 1.0, bump: bool = False,
+                 nmap: bool = False) -> ShadeOutP:
     """One scattering step over the wavefront; uniforms is [4,N].
 
     `glossy` / `sky` (static) gate the Phong-lobe and procedural-sky math —
     both contain pow(), a transcendental the VPU pays for on every lane, so
     scenes that don't use them skip the work entirely.
 
-    `nee` (ops/nee.py; None = plain BSDF sampling) is the tuple
-    (wl V3, vis [N] bool, geom [N], light_mat [N] int32, prev_pdf [N],
-    area float): the shadow-tested light sample for this bounce plus the
-    previous bounce's diffuse-lobe pdf. Both strategies are combined with
-    the one-sample MIS balance heuristic: the NEE contribution's weight
-    collapses to raw/(1+raw) (raw = p_diff*cos_s*geom/pi — bounded, so
-    the classic near-light 1/d^2 area-sampling spike cannot occur), and
-    emissive BSDF hits are weighted prev_pdf/(prev_pdf + pdf_light(hit))
-    with prev_pdf==0 meaning full weight (camera/specular/glossy rays).
+    `nee` (ops/nee.py; None = plain BSDF sampling) is the strategy-agnostic
+    tuple (wl V3, vis [N] bool, le V3, pdf_l [N], prev_pdf [N]): the
+    shadow-tested light sample for this bounce — direction, visibility,
+    emitted radiance, and the sampler's EFFECTIVE solid-angle pdf (the
+    conditional pdf times the strategy-selection probability, built in
+    render/integrator) — plus the previous bounce's BSDF-lobe pdf. Light
+    and BSDF sampling are combined with the one-sample MIS balance
+    heuristic: the NEE contribution's weight collapses to raw/(1+raw)
+    (raw = pdf_bsdf/pdf_l — bounded, so the classic near-light 1/d^2
+    area-sampling spike cannot occur), and BSDF-sampled light hits are
+    weighted prev_pdf/(prev_pdf + pdf_light(hit)) with prev_pdf==0
+    meaning full weight (camera/specular rays).
 
-    `nee_env` (static) switches to env-map NEE: the tuple becomes
-    (wl V3, vis [N] bool, le V3, prev_pdf [N], C float) — the sampled
-    env direction/radiance plus the pdf constant (pdf(d) = lum(d) * C,
-    ops/nee.py build_env_alias); env MISSES are MIS-weighted the same
-    way, for free, off the already-fetched texel."""
+    The BSDF-side light pdfs are rebuilt from statics: `nee_area` > 0
+    enables the area-light weight on emissive hits (union surface area;
+    pdf = d^2/(cos*area)); `nee_env_c` > 0 enables the env weight on
+    misses (pdf(d) = lum(d)*C — free off the already-fetched texel).
+    When BOTH strategies are live (a scene with area lights AND an HDR
+    env), `nee_q` is the static probability the integrator sampled the
+    area union (1-q the env map); each side's pdf is scaled by its
+    selection probability, which keeps every weight pair summing to 1 —
+    the mixture stays unbiased because an env sample occluded by a light
+    (and vice versa) is killed by its own shadow test, so each transport
+    path is covered by exactly two strategies."""
     mat_id = hit.mat_id
     albedo = _mat_select(materials.color, mat_id)
 
@@ -860,6 +946,72 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
     is_light = hit_ok & (emittance > 0.0)
     missed = ~hit_ok
 
+    # --- bump / normal mapping (both static-gated; INSTRUCTION.md's
+    # "Texture mapping AND Bump mapping" item) ------------------------------
+    # Shading normal n_sh replaces the geometric normal in every scatter/
+    # cosine term below; the geometric normal keeps its roles in the
+    # light-hit MIS pdf (a property of the LIGHT surface) and in the
+    # origin back-off (hit.point was already offset along the ray).
+    n_sh = hit.normal
+    if bump:
+        # Procedural world-space bump: h(p) = sin(f x) sin(f y) sin(f z),
+        # analytic gradient projected onto the tangent plane — pure
+        # elementwise (the TPU-fast path, like the checker texture).
+        bs = _mat_select(textures.bump[:, 0], mat_id)
+        bf = _mat_select(textures.bump[:, 1], mat_id)
+        px, py, pz = hit.surf.x * bf, hit.surf.y * bf, hit.surf.z * bf
+        sx_, sy_, sz_ = jnp.sin(px), jnp.sin(py), jnp.sin(pz)
+        grad = V3(bf * jnp.cos(px) * sy_ * sz_,
+                  bf * sx_ * jnp.cos(py) * sz_,
+                  bf * sx_ * sy_ * jnp.cos(pz))
+        gn = vec.dot(grad, n_sh)
+        pert = vec.normalize(V3(n_sh.x - bs * (grad.x - gn * n_sh.x),
+                                n_sh.y - bs * (grad.y - gn * n_sh.y),
+                                n_sh.z - bs * (grad.z - gn * n_sh.z)))
+        n_sh = vec.where(bs > 0.0, pert, n_sh)
+    if nmap and hit.tan is not None:
+        # File-loaded tangent-space normal map: one extra texel gather on
+        # the same packed atlas strip; frame = uv tangent from the
+        # intersect stage (intersect_planar(tangents=True)), Gram-Schmidt
+        # against n, normal-derived fallback where dP/du degenerates.
+        nflat, has_map = _atlas_flat_index(textures, mat_id, hit.u, hit.v,
+                                           rect=textures.nrm_rect,
+                                           tid_table=textures.nrm_id)
+        ha_, wa_ = textures.atlas.shape[0], textures.atlas.shape[1]
+        if textures.atlas_packed.shape[0] == ha_ * wa_:
+            texel = _unpack_rgb8(jnp.take(textures.atlas_packed, nflat))
+        else:
+            texel = V3(jnp.take(textures.atlas[:, :, 0].reshape(-1), nflat),
+                       jnp.take(textures.atlas[:, :, 1].reshape(-1), nflat),
+                       jnp.take(textures.atlas[:, :, 2].reshape(-1), nflat))
+        tn = V3(texel.x * 2.0 - 1.0, texel.y * 2.0 - 1.0,
+                texel.z * 2.0 - 1.0)
+        tdn = vec.dot(hit.tan, n_sh)
+        tperp = V3(hit.tan.x - tdn * n_sh.x, hit.tan.y - tdn * n_sh.y,
+                   hit.tan.z - tdn * n_sh.z)
+        tlen2 = vec.dot(tperp, tperp)
+        # fallback frame (the SQRT_OF_ONE_THIRD trick on n)
+        fx = jnp.abs(n_sh.x) < SQRT_OF_ONE_THIRD
+        fy = (~fx) & (jnp.abs(n_sh.y) < SQRT_OF_ONE_THIRD)
+        not_n = V3(jnp.where(fx, 1.0, 0.0), jnp.where(fy, 1.0, 0.0),
+                   jnp.where(fx | fy, 0.0, 1.0))
+        t_fb = vec.normalize(vec.cross(n_sh, not_n))
+        ok_t = tlen2 > 1e-12
+        inv_l = jax.lax.rsqrt(jnp.maximum(tlen2, 1e-12))
+        t_dir = vec.where(ok_t, V3(tperp.x * inv_l, tperp.y * inv_l,
+                                   tperp.z * inv_l), t_fb)
+        b_dir = vec.cross(n_sh, t_dir)
+        n_map = vec.normalize(V3(
+            t_dir.x * tn.x + b_dir.x * tn.y + n_sh.x * tn.z,
+            t_dir.y * tn.x + b_dir.y * tn.y + n_sh.y * tn.z,
+            t_dir.z * tn.x + b_dir.z * tn.y + n_sh.z * tn.z))
+        # keep the perturbed normal on the geometric hemisphere (extreme
+        # texels at grazing frames could flip it and leak light)
+        keep = has_map & (vec.dot(n_map, hit.normal) > 1e-3)
+        n_sh = vec.where(keep, n_map, n_sh)
+    if bump or nmap:
+        hit = hit._replace(normal=n_sh)
+
     # env lighting only when enabled (static shape check)
     if env_fused is not None:
         env = env_fused
@@ -886,25 +1038,28 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
     lit = alive & is_light
     mis = alive & missed
     rad_scale = jnp.where(lit, emittance, 0.0)
-    if nee is not None and not nee_env:
+    if nee is not None and nee_area > 0.0:
         # MIS-weight the emissive BSDF hit against the light-sampling pdf
-        # of the SAME point (balance heuristic; the env miss term is
-        # untouched — area NEE never samples the env map). prev_pdf == 0
-        # means the previous event was camera/specular/glossy: full
-        # weight.
-        prev_pdf, area = nee[4], nee[5]
+        # of the SAME point (balance heuristic). prev_pdf == 0 means the
+        # previous event was camera/specular/glossy: full weight.
+        prev_pdf = nee[4]
         cos_l_hit = jnp.abs(vec.dot(hit.normal, ray_d))
-        pdf_l_hit = (hit.t * hit.t) / jnp.maximum(cos_l_hit * area, 1e-9)
+        pdf_l_hit = (hit.t * hit.t) / jnp.maximum(cos_l_hit * nee_area,
+                                                  1e-9)
+        if nee_q != 1.0:   # mixed mode: scale by the selection probability
+            pdf_l_hit = pdf_l_hit * nee_q
         w_hit = jnp.where(prev_pdf > 0.0,
                           prev_pdf / jnp.maximum(prev_pdf + pdf_l_hit,
                                                  1e-30), 1.0)
         rad_scale = rad_scale * w_hit
-    if nee is not None and nee_env:
+    if nee is not None and nee_env_c > 0.0:
         # MIS-weight the env MISS against the env-sampling pdf of the
         # same direction — free: pdf(d) = lum(fetched texel) * C.
         from . import nee as nee_mod
-        prev_pdf, c_env = nee[3], nee[4]
-        pdf_env_dir = nee_mod.env_lum(env) * c_env
+        prev_pdf = nee[4]
+        pdf_env_dir = nee_mod.env_lum(env) * nee_env_c
+        if nee_q != 0.0:   # mixed mode: scale by the selection probability
+            pdf_env_dir = pdf_env_dir * (1.0 - nee_q)
         w_env = jnp.where(prev_pdf > 0.0,
                           prev_pdf / jnp.maximum(prev_pdf + pdf_env_dir,
                                                  1e-30), 1.0)
@@ -995,20 +1150,9 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
         # solid-angle pdf (area form 1/geom; env form lum*C). Skipped on
         # the last bounce so the estimator covers exactly the transport
         # of the plain estimator at equal depth (ops/nee.py).
-        wl, vis = nee[0], nee[1]
+        wl, vis, le_n, pdf_l = nee[0], nee[1], nee[2], nee[3]
         cos_s = jnp.clip(vec.dot(hit.normal, wl), 0.0, None)
         nee_ok = alive & hit_ok & ~is_light & ~last_bounce & vis
-        if nee_env:
-            from . import nee as nee_mod
-            le_n, c_env = nee[2], nee[4]
-            pdf_l = jnp.maximum(nee_mod.env_lum(le_n) * c_env, 1e-20)
-        else:
-            geom_term, lmat = nee[2], nee[3]
-            le_rgb = _mat_select(materials.color, lmat)
-            le_scale = _mat_select(materials.emittance, lmat)
-            le_n = V3(le_rgb.x * le_scale, le_rgb.y * le_scale,
-                      le_rgb.z * le_scale)
-            pdf_l = 1.0 / jnp.maximum(geom_term, 1e-20)
         pdf_bd = p_diff * cos_s * (1.0 / jnp.pi)
         wd = jnp.where(nee_ok, pdf_bd / (pdf_l + pdf_bd + 1e-30), 0.0)
         fx = albedo.x * wd

@@ -153,6 +153,8 @@ class ShardedRenderer:
             glossy=bool(np.any(np.asarray(
                 scene.materials.specular_exponent) > 0)),
             sky=bool(float(np.asarray(scene.textures.sky)[0]) > 0),
+            bump=bool(np.any(np.asarray(scene.textures.bump)[:, 0] > 0)),
+            nmap=bool(np.any(np.asarray(scene.textures.nrm_id) >= 0)),
             russian_roulette=self.settings.russian_roulette,
             stratified=getattr(self.settings, "stratified", False),
             strat_impl=getattr(self.settings, "strat_impl", "lattice"),

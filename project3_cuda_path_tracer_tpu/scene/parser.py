@@ -20,6 +20,11 @@ Extensions (gated on new keywords, so reference scenes parse unchanged):
                 SHUTTER t                  (motion blur time span)
   MATERIAL key  TEXTURE <path>             (texture mapping, BASELINE config 5)
                 CHECKER s r2 g2 b2         (procedural checker: RGB vs c2)
+                NORMALMAP <path.png>       (file tangent-space normal map;
+                                            INSTRUCTION.md "Texture mapping
+                                            AND Bump mapping")
+                BUMP scale freq            (procedural world-space bump,
+                                            analytic gradient — gather-free)
   top-level     ENVMAP <path.hdr|.png>     (environment lighting, BASELINE config 5)
                 ENVSKY zr zg zb hr hg hb sx sy sz sunr sung sunb sharp
                                            (procedural sky, gather-free)
@@ -109,7 +114,8 @@ def load_scene(path: str) -> T.Scene:
                     f"MATERIAL ID {mid} does not match expected {len(mats)}")
             mat = dict(color=(0, 0, 0), specex=0.0, speccol=(0, 0, 0),
                        refl=0.0, refr=0.0, ior=0.0, emittance=0.0,
-                       texture=None, checker=None)
+                       texture=None, checker=None, normalmap=None,
+                       bump=None)
             for row in _read_block(cur):
                 k = row[0]
                 if k == "RGB":
@@ -130,6 +136,11 @@ def load_scene(path: str) -> T.Scene:
                     mat["texture"] = os.path.join(base, row[1])
                 elif k == "CHECKER":
                     mat["checker"] = [float(v) for v in row[1:5]]
+                elif k == "NORMALMAP":
+                    mat["normalmap"] = os.path.join(base, row[1])
+                elif k == "BUMP":
+                    # BUMP <scale> <freq>: procedural world-space bump
+                    mat["bump"] = (float(row[1]), float(row[2]))
             mats.append(mat)
         elif kw == "OBJECT":
             gid = int(tok[1])
@@ -331,9 +342,15 @@ def _load_textures(mats: List[dict], envmap_path: Optional[str],
         sky[0] = 1.0
         sky[1:1 + len(envsky)] = envsky
 
+    bump = _np.zeros((m_count, 2), _np.float32)
+    for i, mt in enumerate(mats):
+        if mt.get("bump"):
+            bump[i] = mt["bump"]
+
     tex_paths = [mt["texture"] for mt in mats]
+    nrm_paths = [mt.get("normalmap") for mt in mats]
     imgs = {}
-    for p in tex_paths:
+    for p in tex_paths + nrm_paths:
         if p is not None and p not in imgs:
             imgs[p] = read_image(p)
     if not imgs and envmap_path is None:
@@ -342,7 +359,8 @@ def _load_textures(mats: List[dict], envmap_path: Optional[str],
         return _dc.replace(base_tex,
                            checker_scale=jnp.asarray(checker_scale),
                            checker_color2=jnp.asarray(checker_c2),
-                           sky=jnp.asarray(sky))
+                           sky=jnp.asarray(sky),
+                           bump=jnp.asarray(bump))
 
     # Pack a vertical-strip atlas (simple + static-shape friendly).
     if imgs:
@@ -366,6 +384,15 @@ def _load_textures(mats: List[dict], envmap_path: Optional[str],
         if p is not None:
             rect[i] = offsets[p]
             tex_id[i] = 0
+    # normal maps live in the SAME strip (they are just RGB images);
+    # their own rect/id rows select them at shade time (ops/wavefront
+    # applies the tangent-space perturbation when nrm_id >= 0)
+    nrm_rect = np.zeros((len(mats), 4), np.int32)
+    nrm_id = -np.ones((len(mats),), np.int32)
+    for i, p in enumerate(nrm_paths):
+        if p is not None:
+            nrm_rect[i] = offsets[p]
+            nrm_id[i] = 0
     if envmap_path is not None:
         env = read_image(envmap_path)
         env_enabled = 1.0
@@ -408,4 +435,6 @@ def _load_textures(mats: List[dict], envmap_path: Optional[str],
         sky=jnp.asarray(sky),
         atlas_packed=_packed_or_none(atlas, pack_rgb8, _unpack_rgb8),
         env_packed=_packed_or_none(env, pack_rgbe, _unpack_rgbe),
+        bump=jnp.asarray(bump), nrm_rect=jnp.asarray(nrm_rect),
+        nrm_id=jnp.asarray(nrm_id),
     )

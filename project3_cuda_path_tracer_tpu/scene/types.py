@@ -168,8 +168,28 @@ class Textures:
     # on for an env-lit scene.
     env_alias: jnp.ndarray = None     # [He*We] int32
     env_prob: jnp.ndarray = None      # [He*We] float32
+    # Bump/normal mapping (the texture-item companion feature,
+    # reference INSTRUCTION.md "Texture mapping AND Bump mapping"):
+    #   bump[m] = (scale, freq) procedural world-space bump field
+    #             (elementwise analytic gradient — the TPU-fast path,
+    #             like the checker; scale 0 = off);
+    #   nrm_id[m]/nrm_rect[m] = file-loaded tangent-space normal map,
+    #             packed into the SAME atlas strip as the color
+    #             textures (one extra u32 gather per bounce, only when
+    #             a scene uses the feature). -1 = none.
+    bump: jnp.ndarray = None          # [M,2] float32 (scale, freq)
+    nrm_rect: jnp.ndarray = None      # [M,4] int32 (x, y, w, h)
+    nrm_id: jnp.ndarray = None        # [M] int32 (-1 = none)
 
     def __post_init__(self):
+        m = self.tex_id.shape[0]
+        if self.bump is None:
+            object.__setattr__(self, "bump", jnp.zeros((m, 2), jnp.float32))
+        if self.nrm_rect is None:
+            object.__setattr__(self, "nrm_rect",
+                               jnp.zeros((m, 4), jnp.int32))
+        if self.nrm_id is None:
+            object.__setattr__(self, "nrm_id", -jnp.ones((m,), jnp.int32))
         if self.atlas_packed is None:
             object.__setattr__(self, "atlas_packed",
                                jnp.zeros((1,), jnp.uint32))
