@@ -104,6 +104,9 @@ from .pallas_bvh import SUB, LANES, PACKET, BIG, TRI_ROW
 
 WIDTH = 8          # children per node
 STACK = 128        # SMEM stack entries (512 bytes); builder asserts it fits
+# Smallest normal f32: `x > 0` == `x >= _TINY` under the TPU's
+# flush-to-zero arithmetic (used to fold slab compares).
+_TINY = float(np.finfo(np.float32).tiny)
 # Packet size: SUB8*128 rays share one cursor+stack. Measured on the blob
 # (1024x1024 d8): sub=8 784 ms, sub=16 718 ms, sub=32 861 ms — bigger
 # packets amortize the per-step scalar cost until union growth wins.
@@ -133,6 +136,15 @@ class PackedMesh8(NamedTuple):
     # stack encodings stored as f32 (exact below 2^24 — builder asserts),
     # 56 sort axis, 57 centroid threshold. Default traversal input.
     nodes: jnp.ndarray = None  # [B8, 128] f32
+    # Deferred-attribute split (defer_attrs traversal): the kernel only
+    # needs the Moller-Trumbore geometry (v0, e1, e2 = tris cols 0-9);
+    # the winning triangle's shading attributes are fetched AFTER the
+    # traversal with one XLA row gather from this table.
+    # Cols: n0 xyz, n1 xyz, n2 xyz, uv0, uv1, uv2 (15 used, 1 pad).
+    attrs: jnp.ndarray = None  # [T+1, 16] f32
+    # Kernel-side MT-only tri table (rows = tris cols 0-9, 16-col
+    # aligned): halves the VMEM the traversal pins per mesh.
+    tris_mt: jnp.ndarray = None  # [T+1, 16] f32
 
     @property
     def vmem_bytes(self) -> int:
@@ -164,7 +176,9 @@ def _local_binary(meshes: T.MeshBundle, mesh_index: int):
 def _pack_tris(meshes: T.MeshBundle, t0: int, t1: int) -> np.ndarray:
     t = t1 - t0
     sl = slice(t0, t1)
-    tris = np.zeros((t + 1, TRI_ROW), np.float32)  # +1 degenerate pad row
+    # +8 degenerate pad rows (det = 0 -> never hit): block leaf loads
+    # of up to 8 rows starting at the last leaf stay in bounds
+    tris = np.zeros((t + 8, TRI_ROW), np.float32)
     tris[:t, 0:3] = np.asarray(meshes.tri_v0, np.float32)[sl]
     tris[:t, 3:6] = np.asarray(meshes.tri_e1, np.float32)[sl]
     tris[:t, 6:9] = np.asarray(meshes.tri_e2, np.float32)[sl]
@@ -288,8 +302,10 @@ def pack_mesh8(meshes: T.MeshBundle, mesh_index: int = 0) -> PackedMesh8:
             sys.setrecursionlimit(old)
 
     # Worst-case stack: each level on the DFS path parks <= WIDTH-1 residual
-    # siblings, plus the current node's <= WIDTH pushes.
-    bound = (WIDTH - 1) * max_depth + WIDTH
+    # siblings, plus the current node's <= WIDTH pushes, plus <= WIDTH-1
+    # trailing garbage stores above the live top (fastpush writes every
+    # child slot unconditionally).
+    bound = (WIDTH - 1) * max_depth + WIDTH + (WIDTH - 1)
     assert bound <= STACK, (
         f"BVH8 worst-case stack {bound} exceeds kernel STACK={STACK} "
         f"(tree depth {max_depth}); raise STACK in ops/bvh8.py")
@@ -306,11 +322,18 @@ def pack_mesh8(meshes: T.MeshBundle, mesh_index: int = 0) -> PackedMesh8:
     fused[:, 48:56] = ni[:, :8].astype(np.float32)
     fused[:, 56] = ni[:, 16].astype(np.float32)
     fused[:, 57] = nf[:, 64]
+    tris = _pack_tris(meshes, t0, t1)
+    attrs = np.zeros((tris.shape[0], 16), np.float32)
+    attrs[:, 0:15] = tris[:, 9:24]          # n0 n1 n2 uv0 uv1 uv2
+    tris_mt = np.zeros((tris.shape[0], 16), np.float32)
+    tris_mt[:, 0:9] = tris[:, 0:9]          # v0 e1 e2
     return PackedMesh8(
         nodes_f=jnp.asarray(nf),
         nodes_i=jnp.asarray(ni),
-        tris=jnp.asarray(_pack_tris(meshes, t0, t1)),
-        nodes=jnp.asarray(fused))
+        tris=jnp.asarray(tris),
+        nodes=jnp.asarray(fused),
+        attrs=jnp.asarray(attrs),
+        tris_mt=jnp.asarray(tris_mt))
 
 
 def pack_all8(meshes: T.MeshBundle):
@@ -332,7 +355,8 @@ def enable_wide_bvh(scene) -> None:
 def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB,
                       ordered: str = "centroid", streams: int = 1,
                       fused: bool = False, reduce_mode: str = "sum3",
-                      any_hit: bool = False):
+                      any_hit: bool = False, defer_attrs: bool = False,
+                      block_leaf: bool = False, fastpush: bool = False):
     """Kernel body: stack-based 8-wide traversal, `streams` independent
     packets per grid step.
 
@@ -352,13 +376,21 @@ def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB,
 
     def kernel(qox_ref, qoy_ref, qoz_ref, qdx_ref, qdy_ref, qdz_ref,
                tmax_ref, *rest):
-        if fused:
+        if defer_attrs:
+            if fused:
+                (nodes_ref, tris_ref, t_ref, bu_ref, bv_ref, tri_ref,
+                 steps_ref, stack_ref) = rest
+            else:
+                (nodes_f_ref, nodes_i_ref, tris_ref, t_ref, bu_ref,
+                 bv_ref, tri_ref, steps_ref, stack_ref) = rest
+        elif fused:
             (nodes_ref, tris_ref, t_ref, nx_ref, ny_ref, nz_ref, u_ref,
              v_ref, tri_ref, steps_ref, stack_ref) = rest
         else:
             (nodes_f_ref, nodes_i_ref, tris_ref, t_ref, nx_ref, ny_ref,
              nz_ref, u_ref, v_ref, tri_ref, steps_ref, stack_ref) = rest
         S = streams
+        PW = 5 if defer_attrs else 8   # per-stream carry width
 
         def rows(ref, s):
             return ref[s * sub:(s + 1) * sub]
@@ -405,15 +437,19 @@ def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB,
             else:
                 votes.append(None)
 
-        # carry: step, then per stream (sp, t_best, nx, ny, nz, uu, vv, tri)
+        # carry: step, then per stream — defer_attrs: (sp, t_best, bu, bv,
+        # tri); full: (sp, t_best, nx, ny, nz, uu, vv, tri)
+        miss = jnp.full(shape, -1, jnp.int32)
         init = (jnp.int32(0),) + tuple(
             x for s in range(S)
-            for x in (jnp.int32(1), tmax0[s], zero, zero, zero, zero, zero,
-                      jnp.full(shape, -1, jnp.int32)))
+            for x in ((jnp.int32(1), tmax0[s], zero, zero, miss)
+                      if defer_attrs else
+                      (jnp.int32(1), tmax0[s], zero, zero, zero, zero,
+                       zero, miss)))
 
         def unpack(state):
             step = state[0]
-            per = [state[1 + 8 * s: 1 + 8 * (s + 1)] for s in range(S)]
+            per = [state[1 + PW * s: 1 + PW * (s + 1)] for s in range(S)]
             return step, per
 
         def cond(state):
@@ -424,7 +460,10 @@ def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB,
             return any_live & (step < max_steps)
 
         def stream_step(s, st):
-            sp, t_best, nx, ny, nz, uu, vv, tri = st
+            if defer_attrs:
+                sp, t_best, ubu, ubv, tri = st
+            else:
+                sp, t_best, nx, ny, nz, uu, vv, tri = st
             active = sp > 0
             sp1 = jnp.maximum(sp - 1, 0)
             entry = stack_ref[s, sp1]
@@ -435,11 +474,18 @@ def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB,
             meta = jnp.where(do_leaf_p, -entry - 2, 0)
 
             def do_leaf(args):
-                t_best, nx, ny, nz, uu, vv, tri = args
+                if defer_attrs:
+                    t_best, ubu, ubv, tri = args
+                else:
+                    t_best, nx, ny, nz, uu, vv, tri = args
                 start = meta // 32
                 count = meta - start * 32
+                if block_leaf:
+                    # one [leaf_k, W] block load replaces leaf_k dynamic
+                    # row loads (leaf tris are contiguous by construction)
+                    rows_blk = tris_ref[pl.ds(start, leaf_k)]
                 for k in range(leaf_k):
-                    r = tris_ref[start + k]
+                    r = rows_blk[k] if block_leaf else tris_ref[start + k]
                     in_leaf = k < count
                     v0x, v0y, v0z = r[0], r[1], r[2]
                     e1x, e1y, e1z = r[3], r[4], r[5]
@@ -463,18 +509,27 @@ def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB,
                     hit_k = (ok_det & (bu >= 0) & (bv >= 0)
                              & (bu + bv <= 1) & (t_k > 1e-6)
                              & (t_k < t_best) & in_leaf)
-                    bw = 1.0 - bu - bv
-                    nkx = bw * r[9] + bu * r[12] + bv * r[15]
-                    nky = bw * r[10] + bu * r[13] + bv * r[16]
-                    nkz = bw * r[11] + bu * r[14] + bv * r[17]
-                    uk = bw * r[18] + bu * r[20] + bv * r[22]
-                    vk = bw * r[19] + bu * r[21] + bv * r[23]
                     t_best = jnp.where(hit_k, t_k, t_best)
-                    nx = jnp.where(hit_k, nkx, nx)
-                    ny = jnp.where(hit_k, nky, ny)
-                    nz = jnp.where(hit_k, nkz, nz)
-                    uu = jnp.where(hit_k, uk, uu)
-                    vv = jnp.where(hit_k, vk, vv)
+                    if defer_attrs:
+                        # Shading attributes (smooth normal, uv) of the
+                        # WINNING triangle are fetched after the traversal
+                        # with one XLA row gather by `tri` — the per-
+                        # candidate interpolation is pure wasted vector
+                        # work inside the hot Mosaic loop.
+                        ubu = jnp.where(hit_k, bu, ubu)
+                        ubv = jnp.where(hit_k, bv, ubv)
+                    else:
+                        bw = 1.0 - bu - bv
+                        nkx = bw * r[9] + bu * r[12] + bv * r[15]
+                        nky = bw * r[10] + bu * r[13] + bv * r[16]
+                        nkz = bw * r[11] + bu * r[14] + bv * r[17]
+                        uk = bw * r[18] + bu * r[20] + bv * r[22]
+                        vk = bw * r[19] + bu * r[21] + bv * r[23]
+                        nx = jnp.where(hit_k, nkx, nx)
+                        ny = jnp.where(hit_k, nky, ny)
+                        nz = jnp.where(hit_k, nkz, nz)
+                        uu = jnp.where(hit_k, uk, uu)
+                        vv = jnp.where(hit_k, vk, vv)
                     tri = jnp.where(hit_k, start + k, tri)
                 if any_hit:
                     # Occlusion mode (NEE shadow rays): a lane with ANY
@@ -484,11 +539,15 @@ def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB,
                     # Kept small-POSITIVE: t_best = 0 is the dead-lane
                     # sentinel and would read as "no hit" to the caller.
                     t_best = jnp.where(tri >= 0, 1e-5, t_best)
+                if defer_attrs:
+                    return t_best, ubu, ubv, tri
                 return t_best, nx, ny, nz, uu, vv, tri
 
-            t_best, nx, ny, nz, uu, vv, tri = jax.lax.cond(
-                do_leaf_p, do_leaf, lambda a: a,
-                (t_best, nx, ny, nz, uu, vv, tri))
+            hit_state = ((t_best, ubu, ubv, tri) if defer_attrs
+                         else (t_best, nx, ny, nz, uu, vv, tri))
+            if not fastpush:
+                hit_state = jax.lax.cond(
+                    do_leaf_p, do_leaf, lambda a: a, hit_state)
 
             int_active = is_int & active
 
@@ -520,6 +579,15 @@ def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB,
                 # counts.
                 accs = [jnp.zeros((1, LANES), jnp.int32) for _ in range(3)]
                 bits_vec = jnp.zeros((1, LANES), jnp.int32)
+                # Fold the 4-term lane predicate into 2 compares + 1 and
+                # per child (exact): `tmin < t_best & t_best > 0` becomes
+                # `tmin < tbm` with dead lanes' bound collapsed to -inf
+                # (tmin is never -inf below -BIG boxes; -inf < -inf is
+                # false either way), and `tmax >= tmin & tmax > 0` becomes
+                # `tmax >= max(tmin, TINY)` (TPU flushes subnormals, so
+                # tmax in (0, TINY) cannot occur; NaN boxes still fail
+                # every compare). Saves 3 vector ops per child per pop.
+                tbm = jnp.where(t_best > 0, t_best, -jnp.inf)
                 for c in range(WIDTH):
                     lox, loy, loz = (rowf[6 * c], rowf[6 * c + 1],
                                      rowf[6 * c + 2])
@@ -537,12 +605,12 @@ def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB,
                     tmax = jnp.minimum(jnp.maximum(t1x, t2x),
                                        jnp.minimum(jnp.maximum(t1y, t2y),
                                                    jnp.maximum(t1z, t2z)))
-                    # `t_best > 0` deadens sentinel lanes (t_bound <= 0:
+                    # `tbm = -inf` deadens sentinel lanes (t_bound <= 0:
                     # pads and terminated paths) exactly — without it a box
                     # that straddles a dead lane's origin can give
                     # tmin < -1 and leak a vote into the packet union.
-                    lane_hit = ((tmax >= tmin) & (tmax > 0)
-                                & (tmin < t_best) & (t_best > 0))
+                    lane_hit = ((tmax >= jnp.maximum(tmin, _TINY))
+                                & (tmin < tbm))
                     col = jnp.sum(lane_hit.astype(jnp.int32), axis=0,
                                   keepdims=True)        # [1, LANES] <= sub
                     bit = (col > 0).astype(jnp.int32)
@@ -591,6 +659,7 @@ def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB,
                         return newsp
                     return run
 
+                rev = None
                 if ordered:
                     # Children are build-sorted ascending along the sort
                     # axis; pops are LIFO, so push far-first: ascending
@@ -611,14 +680,53 @@ def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB,
                         # pops first — choose it when the origin cluster
                         # is at the LOW end of the child spread
                         rev = ca < thr
+
+                if fastpush:
+                    # Serial-chain shave: the 8-step `newsp` add chain
+                    # becomes a depth-3 prefix tree, and the rev branch
+                    # becomes 16 parallel scalar selects — the push
+                    # phase's serial depth drops from ~10 to ~4 stages.
+                    if rev is not None:
+                        ordn = [jnp.where(rev, x, y) for x, y in
+                                zip(pushes[::-1], pushes)]
+                        orde = [jnp.where(rev, x, y) for x, y in
+                                zip(encs[::-1], encs)]
+                    else:
+                        ordn, orde = pushes, encs
+                    # inclusive prefix (Hillis-Steele, depth 3)
+                    inc = list(ordn)
+                    for sh in (1, 2, 4):
+                        inc = [inc[i] + (inc[i - sh] if i >= sh else 0)
+                               for i in range(WIDTH)]
+                    for c in range(WIDTH):
+                        # exclusive offset; non-pushed stores land on the
+                        # next pushed child's slot and are overwritten by
+                        # it (stores execute in program order), or fall
+                        # beyond the live stack top (never popped).
+                        off = sp_in if c == 0 else sp_in + inc[c - 1]
+                        stack_ref[s, off] = orde[c]
+                    return sp_in + inc[WIDTH - 1]
+                if rev is not None:
                     return jax.lax.cond(
                         rev, push_loop(range(WIDTH - 1, -1, -1)),
                         push_loop(range(WIDTH)), sp_in)
                 return push_loop(range(WIDTH))(sp_in)
 
-            newsp = jax.lax.cond(int_active, do_interior, lambda x: x, sp1)
+            if fastpush:
+                # One branch per pop instead of two: a pop is exactly one
+                # of {interior, leaf, idle}; idle streams take the leaf
+                # arm with meta gated to a no-op.
+                full = jax.lax.cond(
+                    int_active,
+                    lambda a: (do_interior(a[0]),) + a[1:],
+                    lambda a: (a[0],) + do_leaf(a[1:]),
+                    (sp1,) + hit_state)
+                newsp, hit_state = full[0], full[1:]
+            else:
+                newsp = jax.lax.cond(int_active, do_interior,
+                                     lambda x: x, sp1)
             newsp = jnp.where(active, newsp, 0)
-            return (newsp, t_best, nx, ny, nz, uu, vv, tri)
+            return (newsp,) + tuple(hit_state)
 
         def body(state):
             step, per = unpack(state)
@@ -631,15 +739,22 @@ def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB,
         step, per = unpack(out)
         steps_ref[0] = jnp.full((8, LANES), step, jnp.int32)  # pop count
         for s in range(S):
-            _, t_best, nx, ny, nz, uu, vv, tri = per[s]
             sl = slice(s * sub, (s + 1) * sub)
-            t_ref[sl] = t_best
-            nx_ref[sl] = nx
-            ny_ref[sl] = ny
-            nz_ref[sl] = nz
-            u_ref[sl] = uu
-            v_ref[sl] = vv
-            tri_ref[sl] = tri
+            if defer_attrs:
+                _, t_best, ubu, ubv, tri = per[s]
+                t_ref[sl] = t_best
+                bu_ref[sl] = ubu
+                bv_ref[sl] = ubv
+                tri_ref[sl] = tri
+            else:
+                _, t_best, nx, ny, nz, uu, vv, tri = per[s]
+                t_ref[sl] = t_best
+                nx_ref[sl] = nx
+                ny_ref[sl] = ny
+                nz_ref[sl] = nz
+                u_ref[sl] = uu
+                v_ref[sl] = vv
+                tri_ref[sl] = tri
 
     return kernel
 
@@ -647,10 +762,13 @@ def _traverse8_kernel(leaf_k: int, max_steps: int, sub: int = SUB,
 @functools.partial(jax.jit,
                    static_argnames=("leaf_k", "max_steps", "interpret",
                                     "sub", "ordered", "streams", "fused",
-                                    "reduce_mode", "any_hit"))
+                                    "reduce_mode", "any_hit",
+                                    "defer_attrs", "block_leaf",
+                                    "fastpush"))
 def _traverse8(qo_planes, qd_planes, t_bound, node_arrays, tris,
                leaf_k, max_steps, interpret, sub, ordered="centroid",
-               streams=1, fused=False, reduce_mode="sum3", any_hit=False):
+               streams=1, fused=False, reduce_mode="sum3", any_hit=False,
+               defer_attrs=False, block_leaf=False, fastpush=False):
     n = qo_planes[0].shape[0]
     group = streams * sub * LANES
     assert n % group == 0
@@ -666,25 +784,28 @@ def _traverse8(qo_planes, qd_planes, t_bound, node_arrays, tris,
     plane_f = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     plane_i = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
 
+    n_planes = 3 if defer_attrs else 6   # f32 outputs before `tri`
     kernel = _traverse8_kernel(leaf_k, max_steps, sub, ordered, streams,
-                               fused, reduce_mode, any_hit)
+                               fused, reduce_mode, any_hit, defer_attrs,
+                               block_leaf, fastpush)
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[block] * 7 + [full] * (len(node_arrays) + 1),
-        out_specs=(block,) * 7 + (
+        out_specs=(block,) * (n_planes + 1) + (
             pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),),
-        out_shape=(plane_f, plane_f, plane_f, plane_f, plane_f, plane_f,
-                   plane_i,
-                   jax.ShapeDtypeStruct((grid, 8, LANES), jnp.int32)),
+        out_shape=(plane_f,) * n_planes + (
+            plane_i,
+            jax.ShapeDtypeStruct((grid, 8, LANES), jnp.int32)),
         scratch_shapes=[pltpu.SMEM((streams, STACK), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*(as2d(p) for p in qo_planes), *(as2d(p) for p in qd_planes),
       as2d(t_bound), *node_arrays, tris)
-    return tuple(o.reshape(-1) for o in outs[:7]) + (outs[7],)
+    return (tuple(o.reshape(-1) for o in outs[:n_planes + 1])
+            + (outs[n_planes + 1],))
 
 
 def traverse_packets8(qo, qd, packed: PackedMesh8, leaf_k: int = WIDE_LEAF_K,
@@ -692,7 +813,8 @@ def traverse_packets8(qo, qd, packed: PackedMesh8, leaf_k: int = WIDE_LEAF_K,
                       sub: int = SUB8, ordered: str = "centroid",
                       streams: int = 1, return_steps: bool = False,
                       fused: bool = False, reduce_mode: str = "sum3",
-                      any_hit: bool = False):
+                      any_hit: bool = False, defer_attrs: bool = None,
+                      block_leaf: bool = False, fastpush: bool = False):
     """Nearest-hit over the 8-wide packed mesh; drop-in signature/return
     match for ops/pallas_bvh.traverse_packets (t_obj, (nx,ny,nz), u, v,
     tri with -1 = miss). `sub`*128 rays share one cursor+stack.
@@ -701,8 +823,20 @@ def traverse_packets8(qo, qd, packed: PackedMesh8, leaf_k: int = WIDE_LEAF_K,
     instance (latency hiding). `return_steps` appends the per-group
     pop-count diagnostic [grid]. `fused` loads one all-f32 node row per
     interior pop (vs separate f32+i32 rows); `reduce_mode` "rollor" votes
-    via a lane OR-fold + one reduction (vs "sum3" packed sums)."""
+    via a lane OR-fold + one reduction (vs "sum3" packed sums).
+    `defer_attrs` (default on when the packed mesh carries the split
+    tables) keeps normal/uv interpolation OUT of the Mosaic loop: the
+    kernel tracks (t, bu, bv, tri) only and the winning triangle's
+    attributes come from one XLA row gather afterwards."""
     n = qo[0].shape[0]
+    if defer_attrs is None:
+        # MEASURED NEGATIVE as the default (round 3, tools/exp_defer.py):
+        # removing the in-kernel interpolation saved ~nothing (the leaf
+        # phase is not ALU-bound at the margin) while the XLA row gather
+        # for the winners costs ~16 ms per 1M rays (0.9 G elem/s) —
+        # blob 351 -> 496 ms/iter. Kept as an option; the measurement
+        # also dates the "gathers are the texture wall" finding.
+        defer_attrs = False
     if t_bound is None:
         t_bound = jnp.full((n,), BIG, jnp.float32)
     if n < streams * sub * LANES:   # small wavefronts: shrink, don't pad 4x
@@ -725,13 +859,46 @@ def traverse_packets8(qo, qd, packed: PackedMesh8, leaf_k: int = WIDE_LEAF_K,
         fused = False
     node_arrays = ((packed.nodes,) if fused
                    else (packed.nodes_f, packed.nodes_i))
-    t, nx, ny, nz, u, v, tri, steps = _traverse8(
-        tuple(qo), tuple(qd), t_bound, node_arrays,
-        packed.tris, leaf_k, max_steps, interpret, sub, ordered, streams,
-        fused, reduce_mode, any_hit)
-    if pad:
-        t, nx, ny, nz = t[:n], nx[:n], ny[:n], nz[:n]
-        u, v, tri = u[:n], v[:n], tri[:n]
+    if defer_attrs:
+        tri_table = packed.tris_mt if packed.tris_mt is not None \
+            else packed.tris
+        t, bu, bv, tri, steps = _traverse8(
+            tuple(qo), tuple(qd), t_bound, node_arrays,
+            tri_table, leaf_k, max_steps, interpret, sub, ordered,
+            streams, fused, reduce_mode, any_hit, defer_attrs=True,
+            block_leaf=block_leaf, fastpush=fastpush)
+        if pad:
+            t, bu, bv, tri = t[:n], bu[:n], bv[:n], tri[:n]
+        # Attribute fetch for the winners: one row gather (misses index
+        # the zero pad row — same zero normals/uv the fused kernel
+        # produced for misses).
+        n_tris = packed.attrs.shape[0] - 1
+        safe = jnp.where(tri >= 0, tri, n_tris)
+        rows = jnp.take(packed.attrs, safe, axis=0)
+        bw = 1.0 - bu - bv
+        nx = bw * rows[:, 0] + bu * rows[:, 3] + bv * rows[:, 6]
+        ny = bw * rows[:, 1] + bu * rows[:, 4] + bv * rows[:, 7]
+        nz = bw * rows[:, 2] + bu * rows[:, 5] + bv * rows[:, 8]
+        u = bw * rows[:, 9] + bu * rows[:, 11] + bv * rows[:, 13]
+        v = bw * rows[:, 10] + bu * rows[:, 12] + bv * rows[:, 14]
+        # miss lanes carry bu=bv=0 -> bw=1 -> pad-row zeros, but force
+        # exact zeros anyway so output doesn't depend on stale bu/bv
+        hitm = tri >= 0
+        zero = jnp.zeros_like(t)
+        nx = jnp.where(hitm, nx, zero)
+        ny = jnp.where(hitm, ny, zero)
+        nz = jnp.where(hitm, nz, zero)
+        u = jnp.where(hitm, u, zero)
+        v = jnp.where(hitm, v, zero)
+    else:
+        t, nx, ny, nz, u, v, tri, steps = _traverse8(
+            tuple(qo), tuple(qd), t_bound, node_arrays,
+            packed.tris, leaf_k, max_steps, interpret, sub, ordered,
+            streams, fused, reduce_mode, any_hit,
+            block_leaf=block_leaf, fastpush=fastpush)
+        if pad:
+            t, nx, ny, nz = t[:n], nx[:n], ny[:n], nz[:n]
+            u, v, tri = u[:n], v[:n], tri[:n]
     if return_steps:
         return t, (nx, ny, nz), u, v, tri, steps[:, 0, 0]
     return t, (nx, ny, nz), u, v, tri

@@ -47,7 +47,10 @@ def test_leaf_metas_cover_all_triangles_once(blob, packed8):
     ni = np.asarray(packed8.nodes_i)
     encs = ni[:, 0:8]
     metas = -encs[encs <= -2] - 2  # leaf encodings are -(meta)-2
-    n_tris = np.asarray(packed8.tris).shape[0] - 1  # minus pad row
+    # real (non-pad) tri count from the mesh bundle itself — the packed
+    # table carries 8 degenerate pad rows for block leaf loads
+    n_tris = int(np.asarray(blob.meshes.tri_v0).shape[0])
+    assert np.asarray(packed8.tris).shape[0] == n_tris + 8
     cover = np.zeros(n_tris, np.int32)
     for meta in metas:
         st, ct = meta // 32, meta % 32
