@@ -61,6 +61,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default; a net speedup) or Owen-scrambled "
                         "sobol (best per-sample RMSE, ~40%% ALU cost — "
                         "for traversal-dominated scenes)")
+    p.add_argument("--adaptive", action="store_true",
+                   help="adaptive sampling: re-allocate the per-iteration "
+                        "path budget to high-variance pixels every "
+                        "--adaptive-epoch iterations (host planner, "
+                        "static device shapes; unbiased per-pixel means)")
+    p.add_argument("--adaptive-epoch", type=int, default=32,
+                   help="iterations between adaptive re-plans (default 32; "
+                        "the first epoch is a uniform warmup)")
     p.add_argument("--denoise", action="store_true",
                    help="edge-avoiding a-trous wavelet denoise at save "
                         "time (Dammertz et al. 2010 — the course's own "
@@ -118,6 +126,14 @@ def main(argv=None) -> int:
     st.strat_impl = args.sampler
     st.bake_scene = not args.no_bake
     st.seed = args.seed
+    st.adaptive = args.adaptive
+    st.adaptive_epoch = args.adaptive_epoch
+    if args.adaptive and (args.sharded or args.megakernel or args.sort
+                          or args.compact):
+        print("--adaptive is wavefront-renderer-only and incompatible "
+              "with --sharded/--megakernel/--sort/--compact",
+              file=sys.stderr)
+        return 2
 
     os.makedirs(args.outdir, exist_ok=True)
     base = os.path.join(args.outdir, args.out or st.image_name)
@@ -165,6 +181,8 @@ def main(argv=None) -> int:
             # jax.random.key(seed, impl=settings.rng)) — a PRNGKey here would
             # silently switch a resumed render to a different sample stream.
             renderer.base_key = jax.random.key(seed, impl=st.rng)
+            if hasattr(renderer, "restore_extras"):
+                renderer.restore_extras(ckpt.load_extras(found))
             print(f"resumed from {found} at iteration {start_iter}",
                   file=sys.stderr)
 
@@ -203,7 +221,11 @@ def main(argv=None) -> int:
             renderer.accum.block_until_ready()
             ckpt.save_checkpoint(base + ".ckpt.npz",
                                  np.asarray(jax.device_get(renderer.accum)),
-                                 done, args.seed, args.scene)
+                                 done, args.seed, args.scene,
+                                 extras=(renderer.checkpoint_extras()
+                                         if hasattr(renderer,
+                                                    "checkpoint_extras")
+                                         else None))
     renderer.accum.block_until_ready()
     if metrics._t0 is not None:
         metrics.stop(st.iterations - start_iter - metrics._iters)

@@ -104,7 +104,8 @@ def generate_rays_planar(cam: dict, width: int, height: int, key: jax.Array,
                          antialias: bool = True, tile: int = 0,
                          dof: bool = True, motion: bool = True,
                          stratified: bool = False, iteration=None,
-                         strat_impl: str = "lattice"):
+                         strat_impl: str = "lattice",
+                         pixel_override=None, strat_index=None):
     """Primary rays as (origin V3, dir V3, time [N], pixel_index [N]).
 
     `tile` > 0 swizzles the path→pixel mapping into TxT image tiles so that
@@ -122,7 +123,14 @@ def generate_rays_planar(cam: dict, width: int, height: int, key: jax.Array,
     """
     n = width * height
     idx = jnp.arange(n, dtype=jnp.int32)
-    if tile and width % tile == 0 and height % tile == 0:
+    if pixel_override is not None:
+        # Adaptive sampling (render/adaptive.py): path i shoots at an
+        # arbitrary pixel (several paths may share one). `strat_index`
+        # keys the stratified draws uniquely per path (pixel + occurrence
+        # * npix) so co-located paths don't duplicate samples.
+        xi = pixel_override % width
+        yi = pixel_override // width
+    elif tile and width % tile == 0 and height % tile == 0:
         per_tile = tile * tile
         tiles_per_row = width // tile
         tile_id = idx // per_tile
@@ -143,8 +151,10 @@ def generate_rays_planar(cam: dict, width: int, height: int, key: jax.Array,
     k_aa, k_lens, k_time = jax.random.split(key, 3)
     strat = stratified and iteration is not None
     if strat:
+        samp_key = strat_index if strat_index is not None else pixel_index
+
         def draw(num, salt):
-            return stratified_planes(iteration, CAMERA_SLOT, pixel_index,
+            return stratified_planes(iteration, CAMERA_SLOT, samp_key,
                                      num, salt, impl=strat_impl)
     if antialias:
         if strat:

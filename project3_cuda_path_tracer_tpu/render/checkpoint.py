@@ -21,12 +21,17 @@ def scene_hash(path: str) -> str:
 
 
 def save_checkpoint(path: str, accum: np.ndarray, iteration: int,
-                    seed: int, scene_path: str) -> None:
+                    seed: int, scene_path: str,
+                    extras: Optional[dict] = None) -> None:
+    """`extras` holds renderer-mode state beyond the reference's natural
+    (accum, iteration) pair — e.g. adaptive sampling's per-pixel count and
+    luminance^2 sums — stored under an `x_` prefix."""
+    xs = {f"x_{k}": np.asarray(v) for k, v in (extras or {}).items()}
     np.savez_compressed(
         path, accum=np.asarray(accum), iteration=np.int64(iteration),
         seed=np.int64(seed),
         scene_hash=np.frombuffer(
-            scene_hash(scene_path).encode(), dtype=np.uint8))
+            scene_hash(scene_path).encode(), dtype=np.uint8), **xs)
 
 
 def load_checkpoint(path: str, scene_path: str
@@ -40,6 +45,14 @@ def load_checkpoint(path: str, scene_path: str
                 f"checkpoint was created for a different scene "
                 f"(hash {stored} != {current})")
         return (np.asarray(z["accum"]), int(z["iteration"]), int(z["seed"]))
+
+
+def load_extras(path: str) -> dict:
+    """The `x_`-prefixed extras a checkpoint carries (empty for plain
+    uniform-render checkpoints)."""
+    with np.load(path) as z:
+        return {k[2:]: np.asarray(z[k]) for k in z.files
+                if k.startswith("x_")}
 
 
 def find_checkpoint(base: str) -> Optional[str]:

@@ -179,6 +179,12 @@ class TraceConfig:
     # scenes — choose it where per-iteration cost is traversal-dominated
     # (mesh scenes), BENCHMARKS.md.
     strat_impl: str = "lattice"
+    # Adaptive sampling (render/adaptive.py): path->pixel mapping comes
+    # from a host-planned override array instead of the identity; the
+    # radiance finalize becomes a scatter-ADD (several paths may share a
+    # pixel) and trace_wavefront returns (per-path radiance, pixel ids)
+    # for the caller to scatter along with per-sample luminance^2.
+    adaptive: bool = False
 
 
 def trace_wavefront(
@@ -192,6 +198,8 @@ def trace_wavefront(
     first_hit: Optional[wf.HitP] = None,
     packed_meshes: tuple = (),
     iteration=None,
+    pix_override=None,
+    samp_index=None,
 ) -> wf.V3:
     """Trace one full iteration; returns per-pixel radiance as a planar V3
     of [N] planes.
@@ -211,15 +219,28 @@ def trace_wavefront(
         raise ValueError("nee is incompatible with sort_materials/compact "
                          "(the light sample is drawn lane-aligned before "
                          "the permutation)")
+    if cfg.adaptive and (cfg.sort_materials or cfg.compact
+                         or cfg.vmem_tiles > 1):
+        raise ValueError("adaptive sampling is incompatible with "
+                         "sort_materials/compact/vmem_tiles (the path->"
+                         "pixel mapping is no longer lane-derivable)")
 
-    o, d, times, pix = wf.generate_rays_planar(cam, cfg.width, cfg.height,
-                                               k_gen,
-                                               antialias=cfg.antialias,
-                                               tile=cfg.tile,
-                                               dof=cfg.dof, motion=cfg.motion,
-                                               stratified=cfg.stratified,
-                                               iteration=iteration,
-                                               strat_impl=cfg.strat_impl)
+    o, d, times, pix = wf.generate_rays_planar(
+        cam, cfg.width, cfg.height, k_gen,
+        antialias=cfg.antialias, tile=cfg.tile,
+        dof=cfg.dof, motion=cfg.motion,
+        stratified=cfg.stratified, iteration=iteration,
+        strat_impl=cfg.strat_impl,
+        pixel_override=pix_override if cfg.adaptive else None,
+        strat_index=samp_index if cfg.adaptive else None)
+    if cfg.adaptive and samp_index is not None:
+        # state carries the per-path surrogate (pixel + occurrence*npix):
+        # unique per path, so pixel-keyed stratified streams never collide
+        # for co-located paths; the real pixel ids stay in `pix` for the
+        # caller's scatter.
+        state_pix = samp_index
+    else:
+        state_pix = pix
     if cfg.ray_sharding is not None:
         shard = lambda a: jax.lax.with_sharding_constraint(a, cfg.ray_sharding)
         o = V3(*(shard(c) for c in o))
@@ -509,7 +530,12 @@ def trace_wavefront(
             tile_body, None, jnp.arange(cfg.vmem_tiles, dtype=jnp.int32))
         radiance = V3(rx.reshape(n), ry.reshape(n), rz.reshape(n))
     else:
-        radiance = _run(o, d, times, pix, None, first_hit)
+        radiance = _run(o, d, times, state_pix, None, first_hit)
+
+    if cfg.adaptive:
+        # caller scatters (multiple paths per pixel -> scatter-ADD) and
+        # also needs per-sample values for the variance image
+        return radiance, pix
 
     if cfg.tile and not (cfg.sort_materials or cfg.compact):
         # radiance is path-ordered under the tile swizzle; one permutation
@@ -716,16 +742,20 @@ class Renderer:
             dof=bool(scene.camera.aperture > 0
                      and scene.camera.focal_distance > 0),
             motion=bool(scene.camera.shutter > 0),
+            adaptive=bool(getattr(self.settings, "adaptive", False)),
         )
         if getattr(self.settings, "nee", False):
             self.cfg = _wire_nee(scene, self.cfg)
+        self.adaptive = self.cfg.adaptive
         self.base_key = jax.random.key(self.settings.seed, impl=self.settings.rng)
         # Scene baking (after _wire_nee so env alias tables are included):
         # the chunk program closes over host-constant scene tables; only
         # the camera/accumulator/key stay traced (orbit never recompiles).
-        self._baked_chunk = (self._build_baked_chunk()
-                             if getattr(self.settings, "bake_scene", True)
-                             else None)
+        self._baked_chunk = None
+        if self.adaptive:
+            self._adaptive_chunk = self._build_adaptive_chunk()
+        elif getattr(self.settings, "bake_scene", True):
+            self._baked_chunk = self._build_baked_chunk()
         self.reset()
 
     def _build_baked_chunk(self):
@@ -755,6 +785,36 @@ class Renderer:
                          jnp.asarray(self.iteration, jnp.int32), chunk)
         return run
 
+    def _build_adaptive_chunk(self):
+        """Adaptive analogue of _build_baked_chunk: scene tables baked as
+        constants; (accum, accum2, count, mapping) traced
+        (render/adaptive.py — path-space accumulation, one scatter set
+        per chunk)."""
+        from . import adaptive as A
+        s = self.scene
+        geoms_c, mats_c, tex_c = bake_tables(s)
+        cfg = self.cfg
+        meshes, pm = s.meshes, s.packed_meshes
+
+        @partial(jax.jit, static_argnames=("chunk",),
+                 donate_argnames=("accum", "accum2", "countd"))
+        def baked(accum, accum2, countd, cam, textures, base_key,
+                  start_iter, chunk, pix, surr, count_img):
+            img, l2 = A.chunk_body(
+                mats_c, cam, geoms_c, meshes,
+                tex_c if tex_c is not None else textures, base_key,
+                start_iter, cfg, chunk, pm, pix, surr)
+            return accum + img, accum2 + l2, countd + count_img * chunk
+
+        def run(accum, accum2, countd, chunk, pix, surr, count_img):
+            return baked(accum, accum2, countd, s.camera.flat(),
+                         jnp.zeros((0,)) if tex_c is not None
+                         else s.textures,
+                         self.base_key,
+                         jnp.asarray(self.iteration, jnp.int32), chunk,
+                         pix, surr, count_img)
+        return run
+
     def reset(self) -> None:
         """Zero the accumulator (pathtraceInit semantics,
         reference src/pathtrace.cu:85)."""
@@ -762,13 +822,21 @@ class Renderer:
         self.accum = jnp.zeros((h, w, 3), jnp.float32)
         self.iteration = 0
         self._first_hit = None
+        if getattr(self, "adaptive", False):
+            from . import adaptive as A
+            self.accum2 = jnp.zeros((h, w), jnp.float32)
+            self._count_dev = jnp.zeros((h, w), jnp.float32)
+            self._set_plan(A.identity_plan(w, h, self.cfg.tile))
+            ep = max(1, int(getattr(self.settings, "adaptive_epoch", 32)))
+            self._next_replan = ep
 
     def _cached_first_hit(self):
         """First-bounce cache (reference slot: depth-0 intersections are
         iteration-invariant when ray-gen is deterministic,
         src/pathtrace.cu:150,240). Only valid without AA/DoF/motion blur."""
         cam = self.scene.camera
-        if (self.cfg.antialias or cam.aperture > 0 or cam.shutter > 0):
+        if (self.cfg.antialias or cam.aperture > 0 or cam.shutter > 0
+                or self.adaptive):   # adaptive: the mapping varies
             return None
         if self._first_hit is None:
             s = self.scene
@@ -780,6 +848,9 @@ class Renderer:
 
     def step(self) -> None:
         """One progressive iteration (one spp)."""
+        if self.adaptive:
+            self.step_many(1)
+            return
         s = self.scene
         key = jax.random.fold_in(self.base_key, self.iteration)
         it = jnp.asarray(self.iteration, jnp.int32)
@@ -815,6 +886,9 @@ class Renderer:
         """Advance `n` progressive iterations, scanning them on device in
         chunks when the config allows; bitwise-identical sample streams to
         n calls of step() (tested)."""
+        if self.adaptive:
+            self._step_many_adaptive(n)
+            return
         chunkable = not (self.settings.first_bounce_cache
                          and self._cached_first_hit() is not None)
         if not chunkable:
@@ -834,6 +908,65 @@ class Renderer:
             self.iteration += k
             n -= k
 
+    def _set_plan(self, plan) -> None:
+        pix, surr, count_img = plan
+        self._plan = (pix, surr, jnp.asarray(count_img))
+
+    def checkpoint_extras(self) -> dict:
+        """Renderer-mode state beyond (accum, iteration) for
+        render/checkpoint.py — adaptive runs persist the variance sums,
+        per-pixel counts, the CURRENT epoch plan, and the replan schedule
+        so a resumed render is stream-identical to an uninterrupted one."""
+        if not self.adaptive:
+            return {}
+        pix, surr, cimg = self._plan
+        return dict(accum2=np.asarray(self.accum2), count=self.count,
+                    plan_pix=np.asarray(pix), plan_surr=np.asarray(surr),
+                    plan_cimg=np.asarray(cimg),
+                    next_replan=np.int64(self._next_replan))
+
+    def restore_extras(self, extras: dict) -> None:
+        if not self.adaptive:
+            return
+        if "accum2" not in extras:
+            raise ValueError("checkpoint has no adaptive state; resume "
+                             "without --adaptive or re-render")
+        self.accum2 = jnp.asarray(extras["accum2"], jnp.float32)
+        self._count_dev = jnp.asarray(extras["count"], jnp.float32)
+        self._plan = (jnp.asarray(extras["plan_pix"], jnp.int32),
+                      jnp.asarray(extras["plan_surr"], jnp.int32),
+                      jnp.asarray(extras["plan_cimg"], jnp.float32))
+        self._next_replan = int(extras["next_replan"])
+
+    @property
+    def count(self) -> np.ndarray:
+        """Per-pixel sample counts (adaptive runs; device-resident)."""
+        return np.asarray(self._count_dev)
+
+    def _step_many_adaptive(self, n: int) -> None:
+        """Adaptive iterations: chunks scan on device under one fixed
+        path->pixel mapping (path-space accumulation — one scatter set
+        per chunk); the host planner re-allocates the budget every
+        `adaptive_epoch` iterations. Replan transfers are minimized for
+        the remote transport: pull ONE [H,W] error image
+        (adaptive.error_image), push ONE packed mapping."""
+        from . import adaptive as A
+        ep = max(1, int(getattr(self.settings, "adaptive_epoch", 32)))
+        while n > 0:
+            if self.iteration >= self._next_replan:
+                err = np.asarray(A.error_image(
+                    self.accum, self.accum2, self._count_dev))
+                self._set_plan(A.plan_from_err(err))
+                self._next_replan = self.iteration + ep
+            k = min(n, self.CHUNK, self._next_replan - self.iteration)
+            pix, surr, count_img = self._plan
+            self.accum, self.accum2, self._count_dev = \
+                self._adaptive_chunk(self.accum, self.accum2,
+                                     self._count_dev, k, pix, surr,
+                                     count_img)
+            self.iteration += k
+            n -= k
+
     def render(self, num_iterations: int, seed: Optional[int] = None):
         if seed is not None:
             self.base_key = jax.random.key(
@@ -844,7 +977,12 @@ class Renderer:
 
     def image(self) -> np.ndarray:
         """Finalized [H,W,3] float image in [0,1]-ish (mean over samples,
-        x-mirrored like saveImage, reference src/main.cpp:83-89)."""
+        x-mirrored like saveImage, reference src/main.cpp:83-89).
+        Adaptive runs divide per pixel by its own sample count."""
+        if self.adaptive:
+            mean = np.asarray(self.accum) / np.maximum(
+                self.count, 1.0)[:, :, None]
+            return mean[:, ::-1, :].astype(np.float32)
         return np.asarray(self.accum)[:, ::-1, :] / max(self.iteration, 1)
 
     def denoised_accum(self) -> np.ndarray:
@@ -853,7 +991,11 @@ class Renderer:
         from . import denoise as dn
         normal, pos = dn.gbuffer(self.scene, self.cfg,
                                  self.scene.packed_meshes)
-        mean = jnp.asarray(self.accum) / max(self.iteration, 1)
+        if self.adaptive:
+            mean = jnp.asarray(self.accum) / jnp.maximum(
+                jnp.asarray(self.count, jnp.float32), 1.0)[:, :, None]
+        else:
+            mean = jnp.asarray(self.accum) / max(self.iteration, 1)
         out = dn.atrous_denoise(mean, normal, pos)
         return np.asarray(out) * max(self.iteration, 1)
 
@@ -861,4 +1003,9 @@ class Renderer:
              denoise: bool = False) -> str:
         base = path_base or self.settings.image_name
         accum = self.denoised_accum() if denoise else np.asarray(self.accum)
+        if self.adaptive and not denoise:
+            # save_render divides by the iteration count; pre-scale so the
+            # per-pixel division lands on accum/count (the adaptive mean)
+            accum = (np.asarray(accum) / np.maximum(self.count, 1.0)
+                     [:, :, None] * max(self.iteration, 1))
         return img_io.save_render(base, accum, self.iteration, hdr=hdr)

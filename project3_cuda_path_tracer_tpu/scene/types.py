@@ -298,6 +298,13 @@ class RenderSettings:
     # per-sample RMSE; --sampler).
     stratified: bool = False
     strat_impl: str = "lattice"
+    # Adaptive sampling (render/adaptive.py; --adaptive): per-pixel
+    # sample budgets re-planned on host every `adaptive_epoch` iterations
+    # from the running variance image. Static shapes throughout (the
+    # iteration still traces W*H paths; only the path->pixel mapping
+    # changes). Estimator: accum/count per pixel, unbiased.
+    adaptive: bool = False
+    adaptive_epoch: int = 32
     # Bake the scene tables (geoms/materials/small textures) into the
     # compiled program as constants so XLA folds the transform zeros
     # and absent features — 1.35x on the cornell forward. Recompiles on
