@@ -54,6 +54,9 @@ def supports(scene: T.Scene) -> bool:
     if np.any(np.asarray(tx.bump)[:, 0] > 0) \
             or np.any(np.asarray(tx.nrm_id) >= 0):
         return False
+    m = scene.materials
+    if m.dispersion is not None and np.any(np.asarray(m.dispersion) > 0):
+        return False   # spectral dispersion is wavefront-renderer-only
     return True
 
 

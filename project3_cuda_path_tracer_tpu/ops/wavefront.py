@@ -877,7 +877,7 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
                  sky: bool = True, nee=None,
                  nee_area: float = 0.0, nee_env_c: float = 0.0,
                  nee_q: float = 1.0, bump: bool = False,
-                 nmap: bool = False) -> ShadeOutP:
+                 nmap: bool = False, dispersion: bool = False) -> ShadeOutP:
     """One scattering step over the wavefront; uniforms is [4,N].
 
     `glossy` / `sky` (static) gate the Phong-lobe and procedural-sky math —
@@ -1123,6 +1123,27 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
       d_gloss = vec.where(above, d_gloss, d_spec)
       d_spec = vec.where(spec_exp > 0.0, d_gloss, d_spec)
 
+    disp_scale = None
+    if dispersion:
+        # Spectral dispersion (MATERIAL key DISPERSION d): refraction
+        # samples ONE RGB wavelength band per path — detached reuse of
+        # the lobe draw (u_lobe/p_refr is U[0,1) again within the
+        # refractive branch) — and refracts with ior + d*(ch-1): red
+        # bends least, blue most. The path's throughput collapses to 3x
+        # that channel; E[3 * onehot_ch * L_ch] = sum_ch L_ch, so white
+        # light stays unbiased and caustics split into rainbows.
+        disp = _mat_select(materials.dispersion, mat_id)
+        u_ch = jax.lax.stop_gradient(
+            jnp.clip(u_lobe / jnp.maximum(p_refr, 1e-9), 0.0, 1.0 - 1e-7))
+        ch = jnp.floor(u_ch * 3.0)
+        dispersing = take_refr & (disp > 0.0)
+        ior = jnp.where(dispersing, ior + disp * (ch - 1.0), ior)
+        one = jnp.ones_like(ior)
+        disp_scale = V3(
+            jnp.where(dispersing, jnp.where(ch == 0, 3.0, 0.0), one),
+            jnp.where(dispersing, jnp.where(ch == 1, 3.0, 0.0), one),
+            jnp.where(dispersing, jnp.where(ch == 2, 3.0, 0.0), one))
+
     outside = hit.outside
     safe_ior = jnp.maximum(ior, 1e-6)
     eta = jnp.where(outside, 1.0 / safe_ior, safe_ior)
@@ -1188,6 +1209,9 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
     factor = vec.where(
         take_refr, spec_color * inv_pr,
         vec.where(take_spec, spec_color * inv_ps, albedo * inv_pd))
+    if dispersion:
+        factor = V3(factor.x * disp_scale.x, factor.y * disp_scale.y,
+                    factor.z * disp_scale.z)
 
     scattering = alive & hit_ok & ~is_light
     new_throughput = vec.where(scattering, throughput * factor, throughput)

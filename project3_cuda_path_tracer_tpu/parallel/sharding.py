@@ -161,6 +161,9 @@ class ShardedRenderer:
             dof=bool(scene.camera.aperture > 0
                      and scene.camera.focal_distance > 0),
             motion=bool(scene.camera.shutter > 0),
+            dispersion=bool(
+                scene.materials.dispersion is not None
+                and np.any(np.asarray(scene.materials.dispersion) > 0)),
         )
         if getattr(self.settings, "nee", False):
             self.cfg = integ._wire_nee(self.scene, self.cfg)

@@ -179,6 +179,10 @@ class TraceConfig:
     # scenes — choose it where per-iteration cost is traversal-dominated
     # (mesh scenes), BENCHMARKS.md.
     strat_impl: str = "lattice"
+    # Spectral dispersion (static; on when any material has DISPERSION>0):
+    # the refractive lobe samples one RGB band per path with a per-band
+    # ior (ops/wavefront.shade_planar).
+    dispersion: bool = False
     # Adaptive sampling (render/adaptive.py): path->pixel mapping comes
     # from a host-planned override array instead of the identity; the
     # radiance finalize becomes a scatter-ADD (several paths may share a
@@ -315,7 +319,7 @@ def trace_wavefront(
             nee_env_c=(cfg.nee_env_c if cfg.nee_env else 0.0),
             nee_q=(cfg.nee_q if (cfg.nee_lights and cfg.nee_env)
                    else 1.0 if cfg.nee_lights else 0.0),
-            bump=cfg.bump, nmap=cfg.nmap)
+            bump=cfg.bump, nmap=cfg.nmap, dispersion=cfg.dispersion)
         if cfg.nee and out.nee_pdf is None:
             out = out._replace(nee_pdf=jnp.zeros((nl,), jnp.float32))
         if cfg.sort_materials or cfg.compact:
@@ -743,6 +747,9 @@ class Renderer:
                      and scene.camera.focal_distance > 0),
             motion=bool(scene.camera.shutter > 0),
             adaptive=bool(getattr(self.settings, "adaptive", False)),
+            dispersion=bool(
+                scene.materials.dispersion is not None
+                and np.any(np.asarray(scene.materials.dispersion) > 0)),
         )
         if getattr(self.settings, "nee", False):
             self.cfg = _wire_nee(scene, self.cfg)

@@ -115,7 +115,7 @@ def load_scene(path: str) -> T.Scene:
             mat = dict(color=(0, 0, 0), specex=0.0, speccol=(0, 0, 0),
                        refl=0.0, refr=0.0, ior=0.0, emittance=0.0,
                        texture=None, checker=None, normalmap=None,
-                       bump=None)
+                       bump=None, disp=0.0)
             for row in _read_block(cur):
                 k = row[0]
                 if k == "RGB":
@@ -141,6 +141,9 @@ def load_scene(path: str) -> T.Scene:
                 elif k == "BUMP":
                     # BUMP <scale> <freq>: procedural world-space bump
                     mat["bump"] = (float(row[1]), float(row[2]))
+                elif k == "DISPERSION":
+                    # DISPERSION <d>: per-channel ior = REFRIOR + d*(c-1)
+                    mat["disp"] = float(row[1])
             mats.append(mat)
         elif kw == "OBJECT":
             gid = int(tok[1])
@@ -272,6 +275,7 @@ def load_scene(path: str) -> T.Scene:
         has_refractive=jnp.array([mt["refr"] for mt in mats], jnp.float32),
         ior=jnp.array([mt["ior"] for mt in mats], jnp.float32),
         emittance=jnp.array([mt["emittance"] for mt in mats], jnp.float32),
+        dispersion=jnp.array([mt["disp"] for mt in mats], jnp.float32),
     )
 
     transforms = np.stack([

@@ -49,6 +49,11 @@ class Materials:
     has_refractive: jnp.ndarray   # [M]  float; used as refractive lobe probability
     ior: jnp.ndarray              # [M]
     emittance: jnp.ndarray        # [M]
+    # Spectral dispersion strength (extension; MATERIAL key DISPERSION d):
+    # refraction samples one RGB channel with ior + d*(channel-1) — red
+    # bends least, blue most (ops/wavefront.shade_planar). None = absent
+    # (an empty pytree subtree, like Geoms.sdf_params).
+    dispersion: Optional[jnp.ndarray] = None  # [M]
 
     @staticmethod
     def zeros(n: int) -> "Materials":
@@ -60,6 +65,7 @@ class Materials:
             has_refractive=jnp.zeros((n,), jnp.float32),
             ior=jnp.zeros((n,), jnp.float32),
             emittance=jnp.zeros((n,), jnp.float32),
+            dispersion=jnp.zeros((n,), jnp.float32),
         )
 
 
