@@ -21,6 +21,9 @@ CONFIGS = [
     ("scenes/cornell_dof.txt", 500),
     ("scenes/mesh.txt", 200),
     ("scenes/textured_env_proc.txt", 50),
+    ("scenes/dispersion.txt", 500),
+    ("scenes/sdf.txt", 200),
+    ("scenes/lights.txt", 200),
 ]
 
 
