@@ -128,10 +128,13 @@ def main(argv=None) -> int:
     st.seed = args.seed
     st.adaptive = args.adaptive
     st.adaptive_epoch = args.adaptive_epoch
-    if args.adaptive and (args.sharded or args.megakernel or args.sort
-                          or args.compact):
-        print("--adaptive is wavefront-renderer-only and incompatible "
-              "with --sharded/--megakernel/--sort/--compact",
+    if args.adaptive and (args.megakernel or args.sort or args.compact):
+        print("--adaptive is incompatible with "
+              "--megakernel/--sort/--compact", file=sys.stderr)
+        return 2
+    if args.adaptive and args.sharded and (args.resume
+                                           or args.checkpoint_every):
+        print("--adaptive --sharded does not support checkpointing yet",
               file=sys.stderr)
         return 2
 

@@ -121,7 +121,12 @@ def generate_rays_planar(cam: dict, width: int, height: int, key: jax.Array,
     (no RNG bit-gen for those planes). Falls back to the random draws
     when `iteration` is None (callers that don't track an index).
     """
-    n = width * height
+    # Under a pixel override the path count follows the override (a
+    # sharded caller traces only its local block of paths while the
+    # pixel ids — and the width/height the direction math uses — stay
+    # GLOBAL).
+    n = width * height if pixel_override is None else \
+        pixel_override.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     if pixel_override is not None:
         # Adaptive sampling (render/adaptive.py): path i shoots at an

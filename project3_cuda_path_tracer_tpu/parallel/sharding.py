@@ -167,12 +167,18 @@ class ShardedRenderer:
         )
         if getattr(self.settings, "nee", False):
             self.cfg = integ._wire_nee(self.scene, self.cfg)
+        self.adaptive = bool(getattr(self.settings, "adaptive", False))
+        if self.adaptive and (self.settings.sort_materials
+                              or self.settings.compact):
+            raise ValueError("adaptive is incompatible with sort/compact")
         # Scene baking (see integrator.bake_tables): the tables become
         # replicated HLO constants under GSPMD; camera/accum/key stay
         # traced. Built after _wire_nee so env alias tables are included.
-        self._baked_chunk = (self._build_baked_chunk()
-                             if getattr(self.settings, "bake_scene", True)
-                             else None)
+        self._baked_chunk = None
+        if self.adaptive:
+            self._adaptive_chunk = self._build_adaptive_chunk()
+        elif getattr(self.settings, "bake_scene", True):
+            self._baked_chunk = self._build_baked_chunk()
         self.base_key = jax.random.key(self.settings.seed, impl=self.settings.rng)
         self.reset()
 
@@ -204,13 +210,108 @@ class ShardedRenderer:
                          jnp.asarray(self.iteration, jnp.int32), chunk)
         return run
 
+    def _build_adaptive_chunk(self):
+        """Adaptive sampling under the data mesh (render/adaptive.py),
+        as a shard_map: each device traces its own block of paths whose
+        pixels live in its own accumulator rows BY CONSTRUCTION
+        (adaptive.plan_epoch_sharded apportions each shard's budget
+        within its row block), so the radiance scatter is local — no
+        cross-chip collectives, same as the uniform renderer."""
+        import dataclasses
+        from functools import partial
+        from ..render import adaptive as A  # noqa: F401 (doc anchor)
+        s = self.scene
+        geoms_c, mats_c, tex_c = integ.bake_tables(s)
+        meshes, pm = s.meshes, s.packed_meshes
+        mesh = self.mesh
+        ndev = mesh.devices.size
+        cfg = dataclasses.replace(self.cfg, ray_sharding=None,
+                                  adaptive=True)
+        h, w = cfg.height, cfg.width
+        rows_loc = h // ndev
+        n_loc = rows_loc * w
+
+        def body(chunk, accum_l, accum2_l, cam, textures, base_key,
+                 start_iter, pix_l, surr_l):
+            off = jax.lax.axis_index("data") * n_loc
+            zero = jnp.zeros((n_loc,), jnp.float32)
+
+            def one(carry, i):
+                px, py, pz, pl = carry
+                key = jax.random.fold_in(base_key, start_iter + i)
+                # decorrelate the lane-indexed (non-stratified) draws
+                # across shards; pixel-keyed stratified draws are
+                # shard-independent already
+                key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+                rad, _ = integ.trace_wavefront(
+                    mats_c, cam, geoms_c, meshes,
+                    tex_c if tex_c is not None else textures, key, cfg,
+                    packed_meshes=pm, iteration=start_iter + i,
+                    pix_override=pix_l, samp_index=surr_l)
+                lum = (0.2126 * rad.x + 0.7152 * rad.y + 0.0722 * rad.z)
+                return (px + rad.x, py + rad.y, pz + rad.z,
+                        pl + lum * lum), None
+
+            (px, py, pz, pl), _ = jax.lax.scan(
+                one, (zero, zero, zero, zero),
+                jnp.arange(chunk, dtype=jnp.int32))
+            sc = lambda v: zero.at[pix_l - off].add(v)
+            img = jnp.stack([sc(px), sc(py), sc(pz)],
+                            axis=-1).reshape(rows_loc, w, 3)
+            return (accum_l + img,
+                    accum2_l + sc(pl).reshape(rows_loc, w))
+
+        @partial(jax.jit, static_argnames=("chunk",),
+                 donate_argnames=("accum", "accum2"))
+        def baked(accum, accum2, cam, textures, base_key, start_iter,
+                  pix, surr, chunk):
+            # check_vma off: the body is collective-free (locality by
+            # plan construction) and its scan carries mix replicated-
+            # and shard-derived values, which the varying-axis typing
+            # rejects without pervasive pvary annotations.
+            f = jax.shard_map(
+                partial(body, chunk),
+                mesh=mesh,
+                in_specs=(P("data", None, None), P("data", None),
+                          P(), P(), P(), P(), P("data"), P("data")),
+                out_specs=(P("data", None, None), P("data", None)),
+                check_vma=False)
+            return f(accum, accum2, cam, textures, base_key, start_iter,
+                     pix, surr)
+
+        shard1 = NamedSharding(mesh, P("data"))
+
+        def run(accum, accum2, chunk, pix, surr):
+            return baked(accum, accum2, s.camera.flat(),
+                         jnp.zeros((0,)) if tex_c is not None
+                         else s.textures,
+                         self.base_key,
+                         jnp.asarray(self.iteration, jnp.int32),
+                         jax.device_put(pix, shard1),
+                         jax.device_put(surr, shard1), chunk)
+        return run
+
     def reset(self) -> None:
         w, h = self.scene.camera.resolution
         self.accum = jax.device_put(jnp.zeros((h, w, 3), jnp.float32),
                                     self.accum_sharding)
         self.iteration = 0
+        if getattr(self, "adaptive", False):
+            from ..render import adaptive as A
+            ndev = self.mesh.devices.size
+            self.accum2 = jax.device_put(
+                jnp.zeros((h, w), jnp.float32),
+                NamedSharding(self.mesh, P("data", None)))
+            self.count = np.zeros((h, w), np.float64)
+            self._plan = A.identity_plan_sharded(w, h, ndev,
+                                                 self.cfg.tile)
+            ep = max(1, int(getattr(self.settings, "adaptive_epoch", 32)))
+            self._next_replan = ep
 
     def step(self) -> None:
+        if getattr(self, "adaptive", False):
+            self.step_many(1)
+            return
         s = self.scene
         key = jax.random.fold_in(self.base_key, self.iteration)
         self.accum = render_step_sharded(
@@ -225,6 +326,9 @@ class ShardedRenderer:
     def step_many(self, n: int) -> None:
         """Advance n iterations, scanning them in one SPMD program per
         chunk; bitwise-identical sample streams to n step() calls."""
+        if getattr(self, "adaptive", False):
+            self._step_many_adaptive(n)
+            return
         s = self.scene
         while n > 0:
             k = min(n, self.CHUNK)
@@ -238,6 +342,29 @@ class ShardedRenderer:
             self.iteration += k
             n -= k
 
+    def _step_many_adaptive(self, n: int) -> None:
+        """Adaptive iterations over the mesh: shard-local chunks under
+        one fixed per-shard plan; the host re-plans every adaptive_epoch
+        iterations from the gathered statistics (the save-cadence
+        framebuffer gather, SURVEY §5.8)."""
+        from ..render import adaptive as A
+        ndev = self.mesh.devices.size
+        ep = max(1, int(getattr(self.settings, "adaptive_epoch", 32)))
+        while n > 0:
+            if self.iteration >= self._next_replan:
+                self._plan = A.plan_epoch_sharded(
+                    np.asarray(jax.device_get(self.accum)),
+                    np.asarray(jax.device_get(self.accum2)),
+                    self.count, ndev)
+                self._next_replan = self.iteration + ep
+            k = min(n, self.CHUNK, self._next_replan - self.iteration)
+            pix, surr, count_img = self._plan
+            self.accum, self.accum2 = self._adaptive_chunk(
+                self.accum, self.accum2, k, pix, surr)
+            self.count += count_img.astype(np.float64) * k
+            self.iteration += k
+            n -= k
+
     def render(self, num_iterations: int, seed: Optional[int] = None):
         if seed is not None:
             self.base_key = jax.random.key(
@@ -248,21 +375,28 @@ class ShardedRenderer:
 
     def image(self) -> np.ndarray:
         """Gather the sharded accumulator to the host and finalize
-        (the save-time all-gather of SURVEY §5.8)."""
-        gathered = jax.device_get(self.accum)
-        return np.asarray(gathered)[:, ::-1, :] / max(self.iteration, 1)
+        (the save-time all-gather of SURVEY §5.8). Adaptive runs divide
+        per pixel by its own sample count."""
+        gathered = np.asarray(jax.device_get(self.accum))
+        if getattr(self, "adaptive", False):
+            return (gathered / np.maximum(self.count, 1.0)[:, :, None]
+                    )[:, ::-1, :].astype(np.float32)
+        return gathered[:, ::-1, :] / max(self.iteration, 1)
 
     def save(self, path_base: Optional[str] = None, hdr: bool = False,
              denoise: bool = False) -> str:
         base = path_base or self.settings.image_name
         accum = np.asarray(jax.device_get(self.accum))
+        it = max(self.iteration, 1)
+        if getattr(self, "adaptive", False):
+            # pre-scale so save_render's /iterations lands on accum/count
+            accum = accum / np.maximum(self.count, 1.0)[:, :, None] * it
         if denoise:
             # Post-process on the gathered host image (the denoiser is a
             # save-time pass, not part of the SPMD loop).
             from ..render import denoise as dn
             normal, pos = dn.gbuffer(self.scene, self.cfg,
                                      self.scene.packed_meshes)
-            it = max(self.iteration, 1)
             accum = np.asarray(dn.atrous_denoise(
                 jnp.asarray(accum) / it, jax.device_get(normal),
                 jax.device_get(pos))) * it

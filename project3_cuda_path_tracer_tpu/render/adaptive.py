@@ -193,6 +193,67 @@ def plan_from_err(err: np.ndarray, floor_frac: float = 0.15):
     return packed[:npix], packed[npix:], count_img
 
 
+def plan_epoch_sharded(accum: np.ndarray, accum2: np.ndarray,
+                       count: np.ndarray, ndev: int,
+                       floor_frac: float = 0.15):
+    """Per-shard adaptive plan: the pixel rows are split into `ndev`
+    equal row blocks (the ShardedRenderer's data sharding) and each
+    block's W*H/ndev path budget is apportioned WITHIN the block — every
+    path's pixel stays on its own shard, so the radiance scatter is
+    provably local under shard_map (no cross-chip collectives). The
+    budget-per-shard constraint costs a little allocation optimality vs
+    the global plan; locality is worth more on ICI."""
+    h, w = count.shape
+    assert h % ndev == 0
+    rows = h // ndev
+    cnt = np.maximum(np.asarray(count, np.float64), 1.0)
+    lum = (np.asarray(accum[..., 0], np.float64) * _LW[0]
+           + np.asarray(accum[..., 1], np.float64) * _LW[1]
+           + np.asarray(accum[..., 2], np.float64) * _LW[2])
+    mean = lum / cnt
+    var = np.maximum(np.asarray(accum2, np.float64) / cnt - mean ** 2, 0.0)
+    g = max(float(lum.sum() / cnt.sum()), 1e-12)
+    err = (np.sqrt(var / cnt) + 0.5 * g / cnt) / (mean + 0.1 * g + 1e-6)
+    npix_loc = rows * w
+    pix_all, surr_all, cimg_all = [], [], []
+    for d in range(ndev):
+        blk = err[d * rows:(d + 1) * rows]
+        e = np.asarray(blk, np.float64)
+        u = e.sum() / npix_loc
+        e = (1.0 - floor_frac) * e + floor_frac * max(u, 1e-12)
+        n = apportion(e, npix_loc)
+        base = d * npix_loc
+        pix = base + np.repeat(np.arange(npix_loc, dtype=np.int64), n)
+        starts = np.concatenate([[0], np.cumsum(n)[:-1]])
+        occ = np.arange(npix_loc, dtype=np.int64) - np.repeat(starts, n)
+        cap = (2 ** 31 - 1) // (h * w) - 1
+        surr_all.append(pix + np.minimum(occ, cap) * (h * w))
+        pix_all.append(pix)
+        cimg_all.append(n.reshape(rows, w))
+    pix = np.concatenate(pix_all)
+    surr = np.concatenate(surr_all)
+    count_img = np.concatenate(cimg_all).astype(np.float32)
+    return (jnp.asarray(pix, jnp.int32), jnp.asarray(surr, jnp.int32),
+            count_img)
+
+
+def identity_plan_sharded(width: int, height: int, ndev: int,
+                          tile: int = 0):
+    """Warmup mapping for the sharded renderer: the identity (or a
+    per-shard-block tile swizzle when the tile divides the block rows —
+    a straddling tile would leak paths across shards)."""
+    rows = height // ndev
+    if tile and (rows % tile or width % tile):
+        tile = 0
+    blocks = []
+    for d in range(ndev):
+        p, _, _ = identity_plan(width, rows, tile)
+        blocks.append(np.asarray(p, np.int64) + d * rows * width)
+    idx = np.concatenate(blocks)
+    return (jnp.asarray(idx, jnp.int32), jnp.asarray(idx, jnp.int32),
+            np.ones((height, width), np.float32))
+
+
 def identity_plan(width: int, height: int, tile: int = 0):
     """Warmup mapping: path i -> pixel i (or the TxT tile swizzle the
     uniform renderer would use) — bitwise the uniform render."""

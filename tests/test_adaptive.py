@@ -2,6 +2,7 @@
 bitwise-equality with the uniform renderer, estimator unbiasedness, and
 budget concentration on high-variance pixels."""
 import numpy as np
+import jax
 import pytest
 
 from project3_cuda_path_tracer_tpu import load_scene
@@ -138,5 +139,49 @@ def test_adaptive_checkpoint_resume(cornell_small):
 def test_adaptive_cli_flag(tmp_path):
     from project3_cuda_path_tracer_tpu.app import cli
     rc = cli.main(["/root/reference/scenes/cornell.txt", "--adaptive",
-                   "--sharded"])
+                   "--megakernel"])
     assert rc == 2  # incompatible combination is refused
+
+
+# ----------------------------------------------------------- sharded
+
+def test_sharded_adaptive_warmup_matches_single(cornell_small):
+    """Under --stratified every sample dim is pixel-keyed, so the
+    sharded adaptive warmup (identity plans) is bitwise the single-device
+    adaptive warmup — shard_map locality must not change the estimator."""
+    from project3_cuda_path_tracer_tpu.parallel.sharding import (
+        ShardedRenderer)
+    st = dict(adaptive=True, adaptive_epoch=8, stratified=True)
+    single = make(cornell_small, **st)
+    single.render(4)
+    sharded = ShardedRenderer(cornell_small, settings=T.RenderSettings(
+        **{**cornell_small.settings.__dict__, **st}))
+    sharded.render(4)
+    a = np.asarray(single.accum)
+    b = np.asarray(jax.device_get(sharded.accum))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    assert (sharded.count == 4.0).all()
+
+
+def test_sharded_adaptive_plans_stay_shard_local(cornell_small):
+    """Past the warmup each path's pixel stays inside its shard's row
+    block (plan_epoch_sharded invariant) and the budget is conserved."""
+    from project3_cuda_path_tracer_tpu.parallel.sharding import (
+        ShardedRenderer)
+    st = T.RenderSettings(**{**cornell_small.settings.__dict__,
+                             "adaptive": True, "adaptive_epoch": 4})
+    r = ShardedRenderer(cornell_small, settings=st)
+    r.render(12)
+    pix = np.asarray(r._plan[0])
+    h = w = 32
+    ndev = 8
+    n_loc = (h // ndev) * w
+    for d in range(ndev):
+        blk = pix[d * n_loc:(d + 1) * n_loc]
+        assert (blk >= d * n_loc).all() and (blk < (d + 1) * n_loc).all()
+    assert r.count.sum() == 12 * h * w
+    assert r.count.std() > 0.0
+    # estimator still sane
+    img = r.image()
+    assert 0.05 < float(img.mean()) < 0.5
+
