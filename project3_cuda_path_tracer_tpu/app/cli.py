@@ -61,6 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default; a net speedup) or Owen-scrambled "
                         "sobol (best per-sample RMSE, ~40%% ALU cost — "
                         "for traversal-dominated scenes)")
+    p.add_argument("--nee-ris", type=int, default=0, metavar="M",
+                   help="RIS direct lighting: resample one shadow ray "
+                        "from M area-light candidates per bounce "
+                        "(implies --nee; area-light scenes only; "
+                        "unbiased)")
     p.add_argument("--adaptive", action="store_true",
                    help="adaptive sampling: re-allocate the per-iteration "
                         "path budget to high-variance pixels every "
@@ -121,7 +126,8 @@ def main(argv=None) -> int:
     st.sort_materials = args.sort
     st.compact = args.compact
     st.russian_roulette = args.russian_roulette
-    st.nee = args.nee
+    st.nee = args.nee or args.nee_ris >= 2
+    st.nee_ris = args.nee_ris
     st.stratified = args.stratified
     st.strat_impl = args.sampler
     st.bake_scene = not args.no_bake

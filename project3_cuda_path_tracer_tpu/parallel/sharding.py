@@ -164,6 +164,7 @@ class ShardedRenderer:
             dispersion=bool(
                 scene.materials.dispersion is not None
                 and np.any(np.asarray(scene.materials.dispersion) > 0)),
+            nee_ris=int(getattr(self.settings, "nee_ris", 0)),
         )
         if getattr(self.settings, "nee", False):
             self.cfg = integ._wire_nee(self.scene, self.cfg)

@@ -146,6 +146,11 @@ class TraceConfig:
     nee: bool = False
     nee_lights: Tuple = ()
     nee_area: float = 0.0
+    # RIS direct lighting (--nee-ris M): resample ONE shadow ray from M
+    # area-light candidates per bounce (Talbot 2005; the ReSTIR building
+    # block); unbiased with the existing MIS. Area-lights-only mode
+    # (env candidates would cost M gathers). 0/1 = off.
+    nee_ris: int = 0
     # Env-map NEE mode (importance-sampled HDR environment; ops/nee.py
     # build_env_alias): active when the scene has an HDR env and no
     # procedural sky (the sky term has no sampling table, mixing it in
@@ -470,6 +475,84 @@ def trace_wavefront(
                         nee_mod.env_lum(le) * cfg.nee_env_c, 1e-20)
                     sh = _shadow(wl)
                     nee_info = (wl, sh.t <= 0.0, le, pdf)
+                elif cfg.nee_ris >= 2:
+                    # RIS / resampled importance sampling over M light
+                    # candidates with ONE shadow ray (Talbot et al. 2005;
+                    # the ReSTIR building block). Unbiased composition
+                    # with the existing one-sample MIS: each candidate's
+                    # scalar target t_j is the shade-formula's unshadowed
+                    # diffuse contribution built from BASE material values
+                    # (floored for positivity — textures only modulate),
+                    # the winner y is picked ~ t, and the estimator
+                    #   V(y) * g(y)/t(y) * mean_j(t_j)
+                    # is delivered through the UNCHANGED shade math by
+                    # scaling le with s = sum_j t_j / (M * t_y): shade
+                    # evaluates g(y) exactly (textured albedo, bump
+                    # normal, glossy term) at the winner only.
+                    M = cfg.nee_ris
+                    uf = jax.random.uniform(
+                        jax.random.fold_in(k_l, 13), (3 * M + 1, n_loc),
+                        jnp.float32)
+                    alb = wf._mat_select(materials.color, hit.mat_id)
+                    lum_b = jnp.maximum(
+                        0.2126 * alb.x + 0.7152 * alb.y + 0.0722 * alb.z,
+                        0.05)
+                    p_refr_b = jnp.clip(wf._mat_select(
+                        materials.has_refractive, hit.mat_id), 0., 1.)
+                    p_spec_b = jnp.clip(wf._mat_select(
+                        materials.has_reflective, hit.mat_id), 0., 1.) \
+                        * (1.0 - p_refr_b)
+                    p_diff_b = jnp.maximum(1.0 - p_refr_b - p_spec_b, 0.)
+                    spc = wf._mat_select(materials.specular_color,
+                                         hit.mat_id)
+                    lum_s = jnp.maximum(
+                        0.2126 * spc.x + 0.7152 * spc.y + 0.0722 * spc.z,
+                        0.05) * p_spec_b
+                    cands = []
+                    for j in range(M):
+                        wl_j, ld_j, le_j, pdf_j = _area_sample(
+                            (uf[3 * j], uf[3 * j + 1], uf[3 * j + 2]))
+                        cos_j = jnp.clip(
+                            vec.dot(hit.normal, wl_j), 0.0, None)
+                        pdf_bd_j = p_diff_b * cos_j * (1.0 / jnp.pi)
+                        lum_le = (0.2126 * le_j.x + 0.7152 * le_j.y
+                                  + 0.0722 * le_j.z)
+                        # diffuse target = the shade formula's unshadowed
+                        # diffuse term; plus a LOBE-AGNOSTIC glossy floor
+                        # (no per-candidate pow) — any positive target is
+                        # unbiased, a closer one only lowers variance
+                        t_j = (lum_le * (lum_b * pdf_bd_j
+                                         + lum_s * cos_j * (0.5 / jnp.pi))
+                               / (pdf_j + pdf_bd_j + 1e-30))
+                        cands.append((wl_j, ld_j, le_j, pdf_j, t_j))
+                    total = sum(c[4] for c in cands)
+                    thresh = uf[3 * M] * total
+                    # first candidate whose cumulative target crosses the
+                    # threshold wins (weighted pick, one uniform)
+                    cum = jnp.zeros_like(total)
+                    chosen = None
+                    for j, (wl_j, ld_j, le_j, pdf_j, t_j) in \
+                            enumerate(cands):
+                        cum = cum + t_j
+                        takej = (thresh < cum) if chosen is None else \
+                            (thresh < cum) & ~chosen[5]
+                        if chosen is None:
+                            chosen = [wl_j, ld_j, le_j, pdf_j, t_j, takej]
+                        else:
+                            chosen = [
+                                vec.where(takej, wl_j, chosen[0]),
+                                jnp.where(takej, ld_j, chosen[1]),
+                                vec.where(takej, le_j, chosen[2]),
+                                jnp.where(takej, pdf_j, chosen[3]),
+                                jnp.where(takej, t_j, chosen[4]),
+                                chosen[5] | takej]
+                    wl, ldist, le, pdf, t_y = chosen[:5]
+                    s = jnp.where(t_y > 0.0,
+                                  total / (M * jnp.maximum(t_y, 1e-30)),
+                                  0.0)
+                    le = V3(le.x * s, le.y * s, le.z * s)
+                    sh = _shadow(wl, max_t=ldist * (1.0 - 1e-3) - 1e-3)
+                    nee_info = (wl, sh.t <= 0.0, le, pdf)
                 else:
                     wl, ldist, le, pdf = _area_sample(us)
                     sh = _shadow(wl, max_t=ldist * (1.0 - 1e-3) - 1e-3)
@@ -750,6 +833,7 @@ class Renderer:
             dispersion=bool(
                 scene.materials.dispersion is not None
                 and np.any(np.asarray(scene.materials.dispersion) > 0)),
+            nee_ris=int(getattr(self.settings, "nee_ris", 0)),
         )
         if getattr(self.settings, "nee", False):
             self.cfg = _wire_nee(scene, self.cfg)

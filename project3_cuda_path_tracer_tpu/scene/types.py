@@ -297,6 +297,10 @@ class RenderSettings:
     # for diffuse scenes. Auto-disabled when the scene has no eligible
     # area lights (Renderer warns).
     nee: bool = False
+    # RIS direct lighting (--nee-ris M): one shadow ray resampled from M
+    # light candidates per bounce; unbiased, big penumbra-variance cut on
+    # multi-light scenes (render/integrator.py RIS block). 0/1 = off.
+    nee_ris: int = 0
     # Stratified sampling: per-pixel CP-rotated low-discrepancy
     # sequences for the camera, NEE, and per-bounce BSDF dims
     # (ops/wavefront; --stratified). strat_impl: "lattice" (default,
