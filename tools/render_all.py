@@ -24,6 +24,7 @@ CONFIGS = [
     ("scenes/dispersion.txt", 500),
     ("scenes/sdf.txt", 200),
     ("scenes/lights.txt", 200),
+    ("scenes/manylights.txt", 400),
 ]
 
 
