@@ -508,6 +508,14 @@ def trace_wavefront(
                     lum_s = jnp.maximum(
                         0.2126 * spc.x + 0.7152 * spc.y + 0.0722 * spc.z,
                         0.05) * p_spec_b
+                    if cfg.glossy:
+                        # true Phong-lobe density for the glossy target
+                        # (the target is free to be anything positive;
+                        # matching shade's wg term only lowers variance)
+                        se = wf._mat_select(materials.specular_exponent,
+                                            hit.mat_id)
+                        mirror = wf.reflect_planar(state.direction,
+                                                   hit.normal)
                     cands = []
                     for j in range(M):
                         wl_j, ld_j, le_j, pdf_j = _area_sample(
@@ -518,12 +526,24 @@ def trace_wavefront(
                         lum_le = (0.2126 * le_j.x + 0.7152 * le_j.y
                                   + 0.0722 * le_j.z)
                         # diffuse target = the shade formula's unshadowed
-                        # diffuse term; plus a LOBE-AGNOSTIC glossy floor
-                        # (no per-candidate pow) — any positive target is
-                        # unbiased, a closer one only lowers variance
-                        t_j = (lum_le * (lum_b * pdf_bd_j
-                                         + lum_s * cos_j * (0.5 / jnp.pi))
+                        # diffuse term (base-material values, floored for
+                        # positivity — any positive target is unbiased)
+                        t_j = (lum_le * lum_b * pdf_bd_j
                                / (pdf_j + pdf_bd_j + 1e-30))
+                        if cfg.glossy:
+                            cos_al = jnp.clip(vec.dot(wl_j, mirror),
+                                              1e-9, 1.0)
+                            q_l = ((se + 1.0) * (0.5 / jnp.pi)
+                                   * jnp.power(cos_al, se))
+                            q_l = jnp.where((se > 0.0) & (cos_j > 0.0),
+                                            q_l, 0.0)
+                            t_j = t_j + (lum_le * lum_s * q_l
+                                         / (pdf_j + p_spec_b * q_l
+                                            + 1e-30))
+                        else:
+                            t_j = t_j + (lum_le * lum_s * cos_j
+                                         * (0.5 / jnp.pi)
+                                         / (pdf_j + pdf_bd_j + 1e-30))
                         cands.append((wl_j, ld_j, le_j, pdf_j, t_j))
                     total = sum(c[4] for c in cands)
                     thresh = uf[3 * M] * total
