@@ -53,6 +53,16 @@ def test_channels_separate(disp_scene):
     assert rb > 3.0 * max(rb0, 1e-6)
 
 
+def test_sharded_dispersion_smoke(disp_scene):
+    from project3_cuda_path_tracer_tpu.parallel.sharding import (
+        ShardedRenderer)
+    r = ShardedRenderer(disp_scene)
+    assert r.cfg.dispersion is True
+    r.render(4)
+    img = r.image()
+    assert np.isfinite(img).all() and img.max() > 0
+
+
 def test_energy_preserved_at_zero_strength(disp_scene):
     """DISPERSION 0 on the same geometry must agree with the plain glass
     estimator in expectation (the channel split is an unbiased 3x one-hot
