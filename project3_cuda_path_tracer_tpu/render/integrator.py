@@ -1051,7 +1051,11 @@ class Renderer:
 
     @property
     def count(self) -> np.ndarray:
-        """Per-pixel sample counts (adaptive runs; device-resident)."""
+        """Per-pixel sample counts. Adaptive runs track them on device;
+        uniform runs have `iteration` samples everywhere by definition."""
+        if not self.adaptive:
+            w, h = self.scene.camera.resolution
+            return np.full((h, w), float(self.iteration))
         return np.asarray(self._count_dev)
 
     def _step_many_adaptive(self, n: int) -> None:

@@ -18,6 +18,8 @@ Extensions (gated on new keywords, so reference scenes parse unchanged):
   OBJECT key    VELOC vx vy vz             (motion blur: src/pathtrace.cu:119)
   CAMERA keys   APERTURE r / FOCAL d       (thin-lens DoF: src/pathtrace.cu:120)
                 SHUTTER t                  (motion blur time span)
+  MATERIAL key  DISPERSION d               (spectral dispersion: per-RGB
+                                            ior = REFRIOR + d*(c-1))
   MATERIAL key  TEXTURE <path>             (texture mapping, BASELINE config 5)
                 CHECKER s r2 g2 b2         (procedural checker: RGB vs c2)
                 NORMALMAP <path.png>       (file tangent-space normal map;
