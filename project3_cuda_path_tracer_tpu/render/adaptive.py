@@ -170,18 +170,97 @@ def plan_epoch(accum: np.ndarray, accum2: np.ndarray, count: np.ndarray,
     return plan_from_err(err, floor_frac)
 
 
-def plan_from_err(err: np.ndarray, floor_frac: float = 0.15):
+def cost_proxy_image(scene, width: int, height: int,
+                     mesh_ratio: float = 128.0) -> np.ndarray:
+    """Host-side per-pixel COST proxy [h,w]: 1.0 for pixels whose primary
+    ray misses every mesh geom's world AABB, `mesh_ratio` for the rest.
+
+    Why: the planner's per-SAMPLE optimal allocation (n ~ err) is a
+    measured 7x ms/iter blow-up on mesh+sky scenes — it moves the budget
+    from near-free sky rays onto BVH-traversal rays. Neyman allocation
+    under heterogeneous cost is n ~ err/sqrt(cost); this proxy captures
+    the dominant cost cliff (packet BVH traversal ~10-20x a primitive
+    ray, BENCHMARKS.md). Returns all-ones when the scene has no meshes.
+
+    Measured on textured_env_proc 1024^2 (torus + sky): without the
+    proxy adaptive inflates ms/iter 7x (a net loss despite a 1.57x
+    per-sample win); ratio 8 bounds it to 3.3x, ratio 128 (default) to
+    1.45x and near equal-time break-even. The honest envelope: adaptive's
+    equal-TIME wins come on cost-uniform scenes with concentrated
+    variance; when the variance lives in the expensive region (glass
+    mesh), Neyman damping can only bound the loss, not flip it.
+    """
+    from ..scene import types as T
+    gtypes = np.asarray(scene.geoms.type)
+    mesh_ids = np.nonzero(gtypes == T.MESH)[0]
+    if len(mesh_ids) == 0 or not scene.packed_meshes:
+        return np.ones((height, width), np.float32)
+    cam = {k: np.asarray(v) for k, v in scene.camera.flat().items()}
+    idx = np.arange(width * height)
+    x = (idx % width).astype(np.float64) + 0.5
+    y = (idx // width).astype(np.float64) + 0.5
+    sx = cam["pixel_length"][0] * (x - width * 0.5)
+    sy = cam["pixel_length"][1] * (y - height * 0.5)
+    d = (cam["view"][None, :] - cam["right"][None, :] * sx[:, None]
+         - cam["up"][None, :] * sy[:, None])
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o = cam["position"][None, :]
+    inv = 1.0 / np.where(np.abs(d) < 1e-12, 1e-12, d)
+    hit_any = np.zeros(width * height, bool)
+    xf = np.asarray(scene.geoms.transform)
+    for g in mesh_ids:
+        m = int(np.asarray(scene.geoms.mesh_id)[g])
+        packed = scene.packed_meshes[m]
+        nf = np.asarray(packed.nodes_f[0])
+        los = nf[0:48].reshape(8, 6)[:, 0:3]
+        his = nf[0:48].reshape(8, 6)[:, 3:6]
+        ok = np.isfinite(los[:, 0])
+        lo_o, hi_o = los[ok].min(0), his[ok].max(0)
+        # world AABB of the transformed object box (8 corners)
+        cs = np.stack(np.meshgrid(*[[lo_o[k], hi_o[k]] for k in range(3)],
+                                  indexing="ij"), -1).reshape(-1, 3)
+        cw = cs @ np.asarray(xf[g])[:3, :3].T + np.asarray(xf[g])[:3, 3]
+        lo, hi = cw.min(0), cw.max(0)
+        t1 = (lo[None, :] - o) * inv
+        t2 = (hi[None, :] - o) * inv
+        tmin = np.minimum(t1, t2).max(1)
+        tmax = np.maximum(t1, t2).min(1)
+        hit_any |= (tmax >= tmin) & (tmax > 0)
+    cost = np.where(hit_any, mesh_ratio, 1.0).astype(np.float32)
+    return cost.reshape(height, width)
+
+
+def plan_from_err(err: np.ndarray, floor_frac: float = 0.15,
+                  tile: int = 0, cost: np.ndarray = None):
     """(pix, surrogate, count_image) from a host error image (the fast
-    path: the Renderer pulls only `error_image` over the transport)."""
+    path: the Renderer pulls only `error_image` over the transport).
+
+    `tile` > 0 emits the paths in TxT pixel-tile-major order so
+    consecutive paths stay screen-coherent — mesh scenes' packet BVH
+    traversal loses ~1.5x without it (scan-row packets, BENCHMARKS.md);
+    pure pixel-id order otherwise."""
     h, w = err.shape
     npix = h * w
     err = np.asarray(err, np.float64)
     u = err.sum() / npix
     err = (1.0 - floor_frac) * err + floor_frac * max(u, 1e-12)
+    if cost is not None:
+        # Neyman allocation under per-pixel cost: n ~ err/sqrt(cost)
+        err = err / np.sqrt(np.asarray(cost, np.float64))
     n = apportion(err, npix)
-    pix = np.repeat(np.arange(npix, dtype=np.int64), n)
-    starts = np.concatenate([[0], np.cumsum(n)[:-1]])
-    occ = np.arange(npix, dtype=np.int64) - np.repeat(starts, n)
+    if tile and h % tile == 0 and w % tile == 0:
+        order = np.asarray(identity_plan(w, h, tile)[0], np.int64)
+        pix = np.repeat(order, n[order])
+    else:
+        pix = np.repeat(np.arange(npix, dtype=np.int64), n)
+    # occurrence index within each pixel's run (runs are contiguous in
+    # either emission order)
+    change = np.empty(npix, bool)
+    change[0] = True
+    np.not_equal(pix[1:], pix[:-1], out=change[1:])
+    run_start = np.maximum.accumulate(
+        np.where(change, np.arange(npix, dtype=np.int64), 0))
+    occ = np.arange(npix, dtype=np.int64) - run_start
     # int32-safe surrogate: occurrences past the cap reuse a stream
     # (harmless: stratification quality degrades for those few paths)
     cap = (2 ** 31 - 1) // npix - 1

@@ -938,6 +938,7 @@ class Renderer:
             self.accum2 = jnp.zeros((h, w), jnp.float32)
             self._count_dev = jnp.zeros((h, w), jnp.float32)
             self._set_plan(A.identity_plan(w, h, self.cfg.tile))
+            self._cost = A.cost_proxy_image(self.scene, w, h)
             ep = max(1, int(getattr(self.settings, "adaptive_epoch", 32)))
             self._next_replan = ep
 
@@ -1071,7 +1072,8 @@ class Renderer:
             if self.iteration >= self._next_replan:
                 err = np.asarray(A.error_image(
                     self.accum, self.accum2, self._count_dev))
-                self._set_plan(A.plan_from_err(err))
+                self._set_plan(A.plan_from_err(err, tile=self.cfg.tile,
+                                               cost=self._cost))
                 self._next_replan = self.iteration + ep
             k = min(n, self.CHUNK, self._next_replan - self.iteration)
             pix, surr, count_img = self._plan
