@@ -74,6 +74,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--adaptive-epoch", type=int, default=32,
                    help="iterations between adaptive re-plans (default 32; "
                         "the first epoch is a uniform warmup)")
+    p.add_argument("--clamp", type=float, default=0.0, metavar="R",
+                   help="per-sample radiance clamp (firefly suppression; "
+                        "biased, opt-in; pairs well with --denoise)")
+    p.add_argument("--gamma", type=float, default=0.0, metavar="G",
+                   help="apply 1/G display gamma to the saved PNG "
+                        "(reference default: none — linear)")
+    p.add_argument("--aces", action="store_true",
+                   help="ACES filmic tonemap on the saved PNG "
+                        "(Narkowicz 2015 fit; .hdr output stays linear)")
     p.add_argument("--denoise", action="store_true",
                    help="edge-avoiding a-trous wavelet denoise at save "
                         "time (Dammertz et al. 2010 — the course's own "
@@ -134,6 +143,7 @@ def main(argv=None) -> int:
     st.seed = args.seed
     st.adaptive = args.adaptive
     st.adaptive_epoch = args.adaptive_epoch
+    st.clamp = args.clamp
     if args.adaptive and (args.megakernel or args.sort or args.compact):
         print("--adaptive is incompatible with "
               "--megakernel/--sort/--compact", file=sys.stderr)
@@ -245,7 +255,8 @@ def main(argv=None) -> int:
         out_base = f"{base}.{ts}.{renderer.iteration}samp"
     else:
         out_base = base
-    out = renderer.save(out_base, hdr=args.hdr, denoise=args.denoise)
+    out = renderer.save(out_base, hdr=args.hdr, denoise=args.denoise,
+                        gamma=args.gamma, aces=args.aces)
     print(f"saved {out}", file=sys.stderr)
     if args.metrics:
         metrics.emit(final=True, output=out)

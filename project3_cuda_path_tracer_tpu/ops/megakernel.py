@@ -607,7 +607,8 @@ class MegakernelRenderer:
     def image(self) -> np.ndarray:
         return np.asarray(self.accum)[:, ::-1, :] / max(self.iteration, 1)
 
-    def save(self, path_base=None, hdr=False, denoise=False) -> str:
+    def save(self, path_base=None, hdr=False, denoise=False,
+             gamma=0.0, aces=False) -> str:
         from ..utils import image as img_io
         base = path_base or self.settings.image_name
         accum = np.asarray(self.accum)
@@ -623,4 +624,5 @@ class MegakernelRenderer:
             it = max(self.iteration, 1)
             accum = np.asarray(dn.atrous_denoise(
                 jnp.asarray(accum) / it, normal, pos)) * it
-        return img_io.save_render(base, accum, self.iteration, hdr=hdr)
+        return img_io.save_render(base, accum, self.iteration, hdr=hdr,
+                                  gamma=gamma, aces=aces)

@@ -165,6 +165,7 @@ class ShardedRenderer:
                 scene.materials.dispersion is not None
                 and np.any(np.asarray(scene.materials.dispersion) > 0)),
             nee_ris=int(getattr(self.settings, "nee_ris", 0)),
+            clamp=float(getattr(self.settings, "clamp", 0.0)),
         )
         if getattr(self.settings, "nee", False):
             self.cfg = integ._wire_nee(self.scene, self.cfg)
@@ -385,7 +386,8 @@ class ShardedRenderer:
         return gathered[:, ::-1, :] / max(self.iteration, 1)
 
     def save(self, path_base: Optional[str] = None, hdr: bool = False,
-             denoise: bool = False) -> str:
+             denoise: bool = False, gamma: float = 0.0,
+             aces: bool = False) -> str:
         base = path_base or self.settings.image_name
         accum = np.asarray(jax.device_get(self.accum))
         it = max(self.iteration, 1)
@@ -401,4 +403,5 @@ class ShardedRenderer:
             accum = np.asarray(dn.atrous_denoise(
                 jnp.asarray(accum) / it, jax.device_get(normal),
                 jax.device_get(pos))) * it
-        return img_io.save_render(base, accum, self.iteration, hdr=hdr)
+        return img_io.save_render(base, accum, self.iteration, hdr=hdr,
+                                  gamma=gamma, aces=aces)

@@ -184,6 +184,11 @@ class TraceConfig:
     # scenes — choose it where per-iteration cost is traversal-dominated
     # (mesh scenes), BENCHMARKS.md.
     strat_impl: str = "lattice"
+    # Per-sample radiance clamp (--clamp R; 0 = off): caps each path's
+    # per-iteration radiance — the standard production firefly
+    # suppressor. BIASED (darkens rare bright transport); opt-in, pairs
+    # well with --denoise.
+    clamp: float = 0.0
     # Spectral dispersion (static; on when any material has DISPERSION>0):
     # the refractive lobe samples one RGB band per path with a per-band
     # ior (ops/wavefront.shade_planar).
@@ -639,6 +644,12 @@ def trace_wavefront(
     else:
         radiance = _run(o, d, times, state_pix, None, first_hit)
 
+    if cfg.clamp > 0:
+        c = jnp.float32(cfg.clamp)
+        radiance = V3(jnp.minimum(radiance.x, c),
+                      jnp.minimum(radiance.y, c),
+                      jnp.minimum(radiance.z, c))
+
     if cfg.adaptive:
         # caller scatters (multiple paths per pixel -> scatter-ADD) and
         # also needs per-sample values for the variance image
@@ -854,6 +865,7 @@ class Renderer:
                 scene.materials.dispersion is not None
                 and np.any(np.asarray(scene.materials.dispersion) > 0)),
             nee_ris=int(getattr(self.settings, "nee_ris", 0)),
+            clamp=float(getattr(self.settings, "clamp", 0.0)),
         )
         if getattr(self.settings, "nee", False):
             self.cfg = _wire_nee(scene, self.cfg)
@@ -1117,7 +1129,8 @@ class Renderer:
         return np.asarray(out) * max(self.iteration, 1)
 
     def save(self, path_base: Optional[str] = None, hdr: bool = False,
-             denoise: bool = False) -> str:
+             denoise: bool = False, gamma: float = 0.0,
+             aces: bool = False) -> str:
         base = path_base or self.settings.image_name
         accum = self.denoised_accum() if denoise else np.asarray(self.accum)
         if self.adaptive and not denoise:
@@ -1125,4 +1138,5 @@ class Renderer:
             # per-pixel division lands on accum/count (the adaptive mean)
             accum = (np.asarray(accum) / np.maximum(self.count, 1.0)
                      [:, :, None] * max(self.iteration, 1))
-        return img_io.save_render(base, accum, self.iteration, hdr=hdr)
+        return img_io.save_render(base, accum, self.iteration, hdr=hdr,
+                                  gamma=gamma, aces=aces)

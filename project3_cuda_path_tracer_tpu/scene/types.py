@@ -315,6 +315,9 @@ class RenderSettings:
     # changes). Estimator: accum/count per pixel, unbiased.
     adaptive: bool = False
     adaptive_epoch: int = 32
+    # Per-sample radiance clamp (--clamp R; 0 = off): production firefly
+    # suppression — biased, opt-in, pairs well with --denoise.
+    clamp: float = 0.0
     # Bake the scene tables (geoms/materials/small textures) into the
     # compiled program as constants so XLA folds the transform zeros
     # and absent features — 1.35x on the cornell forward. Recompiles on

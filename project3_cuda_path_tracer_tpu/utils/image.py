@@ -215,15 +215,30 @@ def tonemap(accum: np.ndarray, iterations: int) -> np.ndarray:
     return (img * 255.0).astype(np.uint8)
 
 
+def aces_tonemap(img: np.ndarray) -> np.ndarray:
+    """Narkowicz's ACES filmic fit (2015): the standard display curve
+    for HDR radiance. [H,W,3] linear -> [0,1]."""
+    x = np.asarray(img, np.float64)
+    out = (x * (2.51 * x + 0.03)) / (x * (2.43 * x + 0.59) + 0.14)
+    return np.clip(out, 0.0, 1.0)
+
+
 def save_render(path_base: str, accum: np.ndarray, iterations: int,
-                hdr: bool = False) -> str:
+                hdr: bool = False, gamma: float = 0.0,
+                aces: bool = False) -> str:
     """saveImage parity (reference: src/main.cpp:78-99): mean over samples,
-    x-mirror, write `<base>.png`."""
+    x-mirror, write `<base>.png`. The reference applies NO display curve
+    (src/image.cpp:28); `gamma` > 0 and `aces` are opt-in extensions
+    (applied to PNG output only — .hdr stays linear radiance)."""
     img = np.asarray(accum, np.float32)[:, ::-1, :] / max(int(iterations), 1)
     if hdr:
         out = path_base + ".hdr"
         write_hdr(out, img)
     else:
+        if aces:
+            img = aces_tonemap(img)
+        if gamma and gamma > 0:
+            img = np.clip(img, 0.0, 1.0) ** (1.0 / gamma)
         out = path_base + ".png"
         write_png(out, (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8))
     return out
