@@ -74,6 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--adaptive-epoch", type=int, default=32,
                    help="iterations between adaptive re-plans (default 32; "
                         "the first epoch is a uniform warmup)")
+    p.add_argument("--bilinear", action="store_true",
+                   help="bilinear texture/env filtering (4 corner "
+                        "fetches + lerp; nearest is the default)")
     p.add_argument("--clamp", type=float, default=0.0, metavar="R",
                    help="per-sample radiance clamp (firefly suppression; "
                         "biased, opt-in; pairs well with --denoise)")
@@ -144,6 +147,7 @@ def main(argv=None) -> int:
     st.adaptive = args.adaptive
     st.adaptive_epoch = args.adaptive_epoch
     st.clamp = args.clamp
+    st.bilinear = args.bilinear
     if args.adaptive and (args.megakernel or args.sort or args.compact):
         print("--adaptive is incompatible with "
               "--megakernel/--sort/--compact", file=sys.stderr)

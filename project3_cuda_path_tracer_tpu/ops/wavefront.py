@@ -801,6 +801,69 @@ def _env_flat_index(textures: T.Textures, d: V3):
     return yi * we + xi
 
 
+def _atlas_bilinear_indices(textures: T.Textures, mat_id, u, v):
+    """Four corner texel indices + fractions for bilinear atlas
+    filtering (--bilinear): texel centers at (x+0.5)/w, corners clamped
+    to the material's atlas rect (no bleeding across atlas entries)."""
+    rect, tid_table = textures.rect, textures.tex_id
+    rx = _mat_select(rect[:, 0].astype(jnp.float32), mat_id)
+    ry = _mat_select(rect[:, 1].astype(jnp.float32), mat_id)
+    rw = _mat_select(rect[:, 2].astype(jnp.float32), mat_id)
+    rh = _mat_select(rect[:, 3].astype(jnp.float32), mat_id)
+    tid = _mat_select(tid_table.astype(jnp.float32), mat_id)
+    uu = u - jnp.floor(u)
+    vv = v - jnp.floor(v)
+    xf = uu * rw - 0.5
+    yf = (1.0 - vv) * rh - 0.5
+    x0 = jnp.floor(xf)
+    y0 = jnp.floor(yf)
+    fu = xf - x0
+    fv = yf - y0
+    hi_x = jnp.maximum(rw - 1, 0.0)
+    hi_y = jnp.maximum(rh - 1, 0.0)
+    ha, wa = textures.atlas.shape[0], textures.atlas.shape[1]
+
+    def at(xc, yc):
+        xi = rx + jnp.clip(xc, 0.0, hi_x)
+        yi = ry + jnp.clip(yc, 0.0, hi_y)
+        return (jnp.clip(yi, 0, ha - 1) * wa
+                + jnp.clip(xi, 0, wa - 1)).astype(jnp.int32)
+
+    return (at(x0, y0), at(x0 + 1, y0), at(x0, y0 + 1),
+            at(x0 + 1, y0 + 1), fu, fv, tid >= 0)
+
+
+def _env_bilinear_indices(textures: T.Textures, d: V3):
+    """Four corner texel indices + fractions for bilinear equirect
+    filtering: longitude wraps, latitude clamps at the poles."""
+    he, we = textures.env.shape[0], textures.env.shape[1]
+    u = 0.5 + jnp.arctan2(d.x, -d.z) / (2.0 * jnp.pi)
+    v = jnp.arccos(jnp.clip(d.y, -1.0, 1.0)) / jnp.pi
+    xf = u * we - 0.5
+    yf = v * he - 0.5
+    x0 = jnp.floor(xf)
+    y0 = jnp.floor(yf)
+    fu = xf - x0
+    fv = yf - y0
+
+    def at(xc, yc):
+        xi = jnp.mod(xc, we)                        # longitude wrap
+        yi = jnp.clip(yc, 0, he - 1)                # pole clamp
+        return (yi * we + xi).astype(jnp.int32)
+
+    return (at(x0, y0), at(x0 + 1, y0), at(x0, y0 + 1),
+            at(x0 + 1, y0 + 1), fu, fv)
+
+
+def _bilerp(c00: V3, c10: V3, c01: V3, c11: V3, fu, fv) -> V3:
+    a = V3(c00.x + (c10.x - c00.x) * fu, c00.y + (c10.y - c00.y) * fu,
+           c00.z + (c10.z - c00.z) * fu)
+    b = V3(c01.x + (c11.x - c01.x) * fu, c01.y + (c11.y - c01.y) * fu,
+           c01.z + (c11.z - c01.z) * fu)
+    return V3(a.x + (b.x - a.x) * fv, a.y + (b.y - a.y) * fv,
+              a.z + (b.z - a.z) * fv)
+
+
 def _unpack_rgbe(p, scale) -> V3:
     """Radiance RGBE u32 texel -> linear f32 RGB (bitwise identical to the
     three f32 takes — utils/image.pack_rgbe)."""
@@ -882,7 +945,8 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
                  sky: bool = True, nee=None,
                  nee_area: float = 0.0, nee_env_c: float = 0.0,
                  nee_q: float = 1.0, bump: bool = False,
-                 nmap: bool = False, dispersion: bool = False) -> ShadeOutP:
+                 nmap: bool = False, dispersion: bool = False,
+                 bilinear: bool = False) -> ShadeOutP:
     """One scattering step over the wavefront; uniforms is [4,N].
 
     `glossy` / `sky` (static) gate the Phong-lobe and procedural-sky math —
@@ -931,7 +995,27 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
             and textures.atlas_packed.shape[0] == ha * wa
             and textures.env_packed.shape[0] == he * we)
     env_fused = None
-    if fuse:
+    if fuse and bilinear:
+        # bilinear filtering (--bilinear): 4 fused corner fetches + lerp
+        # (4x the gather cost — opt-in quality; nearest is the default
+        # like the reference's stb-free sampling)
+        on_env = hit.t <= 0.0
+        a00, a10, a01, a11, fua, fva, textured = _atlas_bilinear_indices(
+            textures, mat_id, hit.u, hit.v)
+        e00, e10, e01, e11, fue, fve = _env_bilinear_indices(
+            textures, ray_d)
+        fu = jnp.where(on_env, fue, fua)
+        fv = jnp.where(on_env, fve, fva)
+        table = jnp.concatenate([textures.atlas_packed,
+                                 textures.env_packed])
+        ps = [jnp.take(table, jnp.where(on_env, e + ha * wa, a))
+              for a, e in ((a00, e00), (a10, e10), (a01, e01), (a11, e11))]
+        albedo = vec.where(
+            textured & ~on_env,
+            _bilerp(*[_unpack_rgb8(p) for p in ps], fu, fv), albedo)
+        env_fused = _bilerp(
+            *[_unpack_rgbe(p, textures.env_enabled) for p in ps], fu, fv)
+    elif fuse:
         aflat, textured = _atlas_flat_index(textures, mat_id, hit.u, hit.v)
         eflat = _env_flat_index(textures, ray_d)
         on_env = hit.t <= 0.0
@@ -941,6 +1025,13 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
             idx)
         albedo = vec.where(textured & ~on_env, _unpack_rgb8(p), albedo)
         env_fused = _unpack_rgbe(p, textures.env_enabled)
+    elif has_atlas and bilinear \
+            and textures.atlas_packed.shape[0] == ha * wa:
+        a00, a10, a01, a11, fu, fv, textured = _atlas_bilinear_indices(
+            textures, mat_id, hit.u, hit.v)
+        cs4 = [_unpack_rgb8(jnp.take(textures.atlas_packed, i))
+               for i in (a00, a10, a01, a11)]
+        albedo = vec.where(textured, _bilerp(*cs4, fu, fv), albedo)
     elif has_atlas:
         albedo = _sample_texture_planar(textures, mat_id, hit.u, hit.v,
                                         albedo)
@@ -1030,6 +1121,11 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
     # env lighting only when enabled (static shape check)
     if env_fused is not None:
         env = env_fused
+    elif has_env and bilinear and textures.env_packed.shape[0] == he * we:
+        e00, e10, e01, e11, fu, fv = _env_bilinear_indices(textures, ray_d)
+        env = _bilerp(*[_unpack_rgbe(jnp.take(textures.env_packed, i),
+                                     textures.env_enabled)
+                        for i in (e00, e10, e01, e11)], fu, fv)
     elif has_env:
         env = _sample_env_planar(textures, ray_d)
     else:

@@ -166,6 +166,7 @@ class ShardedRenderer:
                 and np.any(np.asarray(scene.materials.dispersion) > 0)),
             nee_ris=int(getattr(self.settings, "nee_ris", 0)),
             clamp=float(getattr(self.settings, "clamp", 0.0)),
+            bilinear=bool(getattr(self.settings, "bilinear", False)),
         )
         if getattr(self.settings, "nee", False):
             self.cfg = integ._wire_nee(self.scene, self.cfg)

@@ -184,6 +184,9 @@ class TraceConfig:
     # scenes — choose it where per-iteration cost is traversal-dominated
     # (mesh scenes), BENCHMARKS.md.
     strat_impl: str = "lattice"
+    # Bilinear texture/env filtering (--bilinear): 4 corner fetches +
+    # lerp instead of nearest — 4x the gather cost, opt-in quality.
+    bilinear: bool = False
     # Per-sample radiance clamp (--clamp R; 0 = off): caps each path's
     # per-iteration radiance — the standard production firefly
     # suppressor. BIASED (darkens rare bright transport); opt-in, pairs
@@ -329,7 +332,8 @@ def trace_wavefront(
             nee_env_c=(cfg.nee_env_c if cfg.nee_env else 0.0),
             nee_q=(cfg.nee_q if (cfg.nee_lights and cfg.nee_env)
                    else 1.0 if cfg.nee_lights else 0.0),
-            bump=cfg.bump, nmap=cfg.nmap, dispersion=cfg.dispersion)
+            bump=cfg.bump, nmap=cfg.nmap, dispersion=cfg.dispersion,
+            bilinear=cfg.bilinear)
         if cfg.nee and out.nee_pdf is None:
             out = out._replace(nee_pdf=jnp.zeros((nl,), jnp.float32))
         if cfg.sort_materials or cfg.compact:
@@ -866,6 +870,7 @@ class Renderer:
                 and np.any(np.asarray(scene.materials.dispersion) > 0)),
             nee_ris=int(getattr(self.settings, "nee_ris", 0)),
             clamp=float(getattr(self.settings, "clamp", 0.0)),
+            bilinear=bool(getattr(self.settings, "bilinear", False)),
         )
         if getattr(self.settings, "nee", False):
             self.cfg = _wire_nee(scene, self.cfg)

@@ -315,6 +315,8 @@ class RenderSettings:
     # changes). Estimator: accum/count per pixel, unbiased.
     adaptive: bool = False
     adaptive_epoch: int = 32
+    # Bilinear texture/env filtering (--bilinear; nearest is the default).
+    bilinear: bool = False
     # Per-sample radiance clamp (--clamp R; 0 = off): production firefly
     # suppression — biased, opt-in, pairs well with --denoise.
     clamp: float = 0.0

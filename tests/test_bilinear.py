@@ -1,0 +1,93 @@
+"""Bilinear texture/env filtering (--bilinear): corner-index math,
+constant-texture invariance, and smoothness on a gradient atlas."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from project3_cuda_path_tracer_tpu import load_scene
+from project3_cuda_path_tracer_tpu.ops import wavefront as wf
+from project3_cuda_path_tracer_tpu.render import integrator as I
+from project3_cuda_path_tracer_tpu.scene import types as T
+from project3_cuda_path_tracer_tpu.utils import image as img_io
+
+
+def _textures(atlas8):
+    """Single-material Textures with a packed atlas."""
+    h, w = atlas8.shape[:2]
+    atlas = atlas8.astype(np.float32) / 255.0
+    return T.Textures(
+        atlas=jnp.asarray(atlas),
+        rect=jnp.asarray([[0, 0, w, h]], jnp.int32),
+        tex_id=jnp.asarray([0], jnp.int32),
+        env=jnp.zeros((1, 1, 3), jnp.float32),
+        env_enabled=jnp.zeros(()),
+        checker_scale=jnp.zeros((1,)),
+        checker_color2=jnp.zeros((1, 3)),
+        sky=jnp.zeros((14,)),
+        atlas_packed=jnp.asarray(img_io.pack_rgb8(atlas)),
+        env_packed=jnp.zeros((1,), jnp.uint32),
+        env_alias=jnp.zeros((1,), jnp.int32),
+        env_prob=jnp.zeros((1,), jnp.float32),
+        bump=jnp.zeros((1, 2)), nrm_id=jnp.asarray([-1], jnp.int32),
+        nrm_rect=jnp.zeros((1, 4), jnp.int32),
+    )
+
+
+def _fetch_bilinear(tx, u, v):
+    mid = jnp.zeros(u.shape, jnp.int32)
+    a00, a10, a01, a11, fu, fv, textured = wf._atlas_bilinear_indices(
+        tx, mid, jnp.asarray(u), jnp.asarray(v))
+    cs = [wf._unpack_rgb8(jnp.take(tx.atlas_packed, i))
+          for i in (a00, a10, a01, a11)]
+    out = wf._bilerp(*cs, fu, fv)
+    return np.asarray(out.x)
+
+
+def test_bilinear_interpolates_gradient():
+    """A horizontal 0..255 ramp: fetching between texel centers must give
+    the midpoint, exactly what nearest cannot."""
+    w = 8
+    atlas8 = np.zeros((4, w, 3), np.uint8)
+    atlas8[:, :, 0] = (np.arange(w) * 255 // (w - 1))[None, :]
+    tx = _textures(atlas8)
+    # u halfway between texel centers 2 and 3: value = mean of the two
+    u = np.array([(2.5 + 0.5) / w], np.float32)
+    v = np.array([0.5], np.float32)
+    got = _fetch_bilinear(tx, u, v)[0]
+    want = 0.5 * (atlas8[0, 2, 0] + atlas8[0, 3, 0]) / 255.0
+    assert got == pytest.approx(want, abs=1e-3)
+    # exactly at a texel center: the texel value itself
+    u = np.array([(2.0 + 0.5) / w], np.float32)
+    got = _fetch_bilinear(tx, u, v)[0]
+    assert got == pytest.approx(atlas8[0, 2, 0] / 255.0, abs=1e-3)
+
+
+def test_bilinear_constant_texture_invariant():
+    atlas8 = np.full((4, 4, 3), 137, np.uint8)
+    tx = _textures(atlas8)
+    rng = np.random.default_rng(0)
+    u = rng.uniform(0, 1, 64).astype(np.float32)
+    v = rng.uniform(0, 1, 64).astype(np.float32)
+    got = _fetch_bilinear(tx, u, v)
+    assert np.allclose(got, 137 / 255.0, atol=1e-3)
+
+
+def test_bilinear_render_smoke():
+    """textured_env renders with --bilinear and stays statistically close
+    to nearest (same scene, same seed; filtering only smooths texels)."""
+    s = load_scene("scenes/textured_env.txt")
+    s.camera.resolution = (32, 32)
+    s.camera.derive()
+    s.settings.trace_depth = 3
+
+    def render(**kw):
+        st = T.RenderSettings(**{**s.settings.__dict__, **kw})
+        r = I.Renderer(s, settings=st)
+        r.render(4)
+        return r.image()
+
+    a = render()
+    b = render(bilinear=True)
+    assert np.isfinite(b).all()
+    assert abs(float(a.mean()) - float(b.mean())) < 0.03
+    assert not np.array_equal(a, b)   # it actually filtered
