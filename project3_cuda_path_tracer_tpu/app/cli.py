@@ -152,12 +152,6 @@ def main(argv=None) -> int:
         print("--adaptive is incompatible with "
               "--megakernel/--sort/--compact", file=sys.stderr)
         return 2
-    if args.adaptive and args.sharded and (args.resume
-                                           or args.checkpoint_every):
-        print("--adaptive --sharded does not support checkpointing yet",
-              file=sys.stderr)
-        return 2
-
     os.makedirs(args.outdir, exist_ok=True)
     base = os.path.join(args.outdir, args.out or st.image_name)
 

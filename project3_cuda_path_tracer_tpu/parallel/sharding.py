@@ -368,6 +368,36 @@ class ShardedRenderer:
             self.iteration += k
             n -= k
 
+    def checkpoint_extras(self) -> dict:
+        """Adaptive-mode state beyond (accum, iteration) for
+        render/checkpoint.py — mirrors integrator.Renderer so
+        `--adaptive --sharded` resumes stream-identically. The sharded
+        accum2 is gathered to the host (the save-cadence gather of
+        SURVEY §5.8); plans/counts are host arrays already."""
+        if not getattr(self, "adaptive", False):
+            return {}
+        pix, surr, cimg = self._plan
+        return dict(accum2=np.asarray(jax.device_get(self.accum2)),
+                    count=self.count,
+                    plan_pix=np.asarray(pix), plan_surr=np.asarray(surr),
+                    plan_cimg=np.asarray(cimg),
+                    next_replan=np.int64(self._next_replan))
+
+    def restore_extras(self, extras: dict) -> None:
+        if not getattr(self, "adaptive", False):
+            return
+        if "accum2" not in extras:
+            raise ValueError("checkpoint has no adaptive state; resume "
+                             "without --adaptive or re-render")
+        self.accum2 = jax.device_put(
+            jnp.asarray(extras["accum2"], jnp.float32),
+            NamedSharding(self.mesh, P("data", None)))
+        self.count = np.asarray(extras["count"], np.float64)
+        self._plan = (jnp.asarray(extras["plan_pix"], jnp.int32),
+                      jnp.asarray(extras["plan_surr"], jnp.int32),
+                      np.asarray(extras["plan_cimg"], np.float32))
+        self._next_replan = int(extras["next_replan"])
+
     def render(self, num_iterations: int, seed: Optional[int] = None):
         if seed is not None:
             self.base_key = jax.random.key(

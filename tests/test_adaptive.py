@@ -163,6 +163,39 @@ def test_sharded_adaptive_warmup_matches_single(cornell_small):
     assert (sharded.count == 4.0).all()
 
 
+def test_sharded_adaptive_checkpoint_resume(cornell_small):
+    """ShardedRenderer.checkpoint_extras/restore_extras reproduce an
+    uninterrupted sharded adaptive run across a mid-epoch split (the
+    `--adaptive --sharded` resume path in app/cli.py)."""
+    from project3_cuda_path_tracer_tpu.parallel.sharding import (
+        ShardedRenderer)
+    import jax.numpy as jnp
+
+    def mk():
+        st = T.RenderSettings(**{**cornell_small.settings.__dict__,
+                                 "adaptive": True, "adaptive_epoch": 8})
+        return ShardedRenderer(cornell_small, settings=st)
+
+    r1 = mk()
+    r1.render(24)
+    r2 = mk()
+    r2.render(14)  # mid-epoch split
+    extras = r2.checkpoint_extras()
+    accum, it = np.asarray(jax.device_get(r2.accum)), r2.iteration
+    r3 = mk()
+    r3.accum = jax.device_put(jnp.asarray(accum), r3.accum_sharding)
+    r3.iteration = it
+    r3.restore_extras(extras)
+    r3.render(10)
+    assert (r3.count == r1.count).all()
+    np.testing.assert_allclose(np.asarray(jax.device_get(r3.accum)),
+                               np.asarray(jax.device_get(r1.accum)),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(jax.device_get(r3.accum2)),
+                               np.asarray(jax.device_get(r1.accum2)),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_sharded_adaptive_plans_stay_shard_local(cornell_small):
     """Past the warmup each path's pixel stays inside its shard's row
     block (plan_epoch_sharded invariant) and the budget is conserved."""
