@@ -429,10 +429,15 @@ class ShardedRenderer:
             # Post-process on the gathered host image (the denoiser is a
             # save-time pass, not part of the SPMD loop).
             from ..render import denoise as dn
-            normal, pos = dn.gbuffer(self.scene, self.cfg,
-                                     self.scene.packed_meshes)
+            # relay gate: see integrator.denoised_accum (measured ~64 spp
+            # crossover)
+            normal, pos, alb = dn.gbuffer(self.scene, self.cfg,
+                                          self.scene.packed_meshes,
+                                          albedo=True,
+                                          relay=self.iteration >= 64)
             accum = np.asarray(dn.atrous_denoise(
                 jnp.asarray(accum) / it, jax.device_get(normal),
-                jax.device_get(pos))) * it
+                jax.device_get(pos),
+                albedo=jax.device_get(alb))) * it
         return img_io.save_render(base, accum, self.iteration, hdr=hdr,
                                   gamma=gamma, aces=aces)

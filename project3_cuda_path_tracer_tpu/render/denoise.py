@@ -46,15 +46,29 @@ def _shift(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
 def atrous_denoise(img: jnp.ndarray, normal: jnp.ndarray,
                    pos: jnp.ndarray, iterations: int = 5,
                    sigma_c: float = 4.0, sigma_n: float = 0.35,
-                   sigma_x: float = 0.6) -> jnp.ndarray:
+                   sigma_x: float = 0.6,
+                   albedo: jnp.ndarray = None) -> jnp.ndarray:
     """Denoise a [H,W,3] radiance image using [H,W,3] first-hit normal and
     world-position G-buffers. Returns the filtered [H,W,3] image.
 
     Per Dammertz et al. the radiance sigma halves each pass (the filtered
-    signal's noise shrinks), while the geometric sigmas stay fixed."""
+    signal's noise shrinks), while the geometric sigmas stay fixed.
+
+    `albedo` (optional [H,W,3], from `gbuffer(..., albedo=True)`) enables
+    albedo demodulation: the filter runs on illumination = radiance /
+    albedo and the result is remodulated, so texture/checker detail is
+    restored exactly instead of being blurred as if it were noise —
+    illumination is smooth across albedo edges even when radiance is not.
+    Demodulation uses a clamped divisor and the SAME clamped factor for
+    remodulation, so it is an exact round-trip wherever the filter is a
+    no-op."""
     img = jnp.asarray(img, jnp.float32)
     normal = jnp.asarray(normal, jnp.float32)
     pos = jnp.asarray(pos, jnp.float32)
+    demod = None
+    if albedo is not None:
+        demod = jnp.maximum(jnp.asarray(albedo, jnp.float32), 1e-2)
+        img = img / demod
 
     for i in range(iterations):
         step = 1 << i
@@ -76,22 +90,11 @@ def atrous_denoise(img: jnp.ndarray, normal: jnp.ndarray,
                 acc = acc + w * c_q
                 wsum = wsum + w
         img = acc / jnp.maximum(wsum, 1e-8)
+    if demod is not None:
+        img = img * demod
     return img
 
 
-def gbuffer(scene, cfg, packed_meshes=()):
-    """First-hit [H,W,3] (normal, world position) G-buffers from the
-    deterministic (no-AA) camera rays. Miss lanes get normal 0 and a far
-    constant position, so background pixels only mix with each other."""
-    from . import integrator as I
-    hit = I._first_hit_of(scene.camera.flat(), scene.geoms, scene.meshes,
-                          cfg, packed_meshes)
-    h, w = cfg.height, cfg.width
-    miss = hit.t <= 0.0
-    def plane(v, far=0.0):
-        return jnp.where(miss, far, v).reshape(h, w)
-    normal = jnp.stack([plane(hit.normal.x), plane(hit.normal.y),
-                        plane(hit.normal.z)], axis=-1)
-    pos = jnp.stack([plane(hit.point.x, 1e6), plane(hit.point.y, 1e6),
-                     plane(hit.point.z, 1e6)], axis=-1)
-    return normal, pos
+# G-buffer construction (deterministic first hits, mirror relay, base
+# albedo) lives in denoise_gbuf.py; re-exported here as the public API.
+from .denoise_gbuf import gbuffer  # noqa: E402,F401

@@ -1123,14 +1123,19 @@ class Renderer:
         """Accumulator filtered by the edge-avoiding à-trous denoiser
         (render/denoise.py), same scale/orientation as `accum`."""
         from . import denoise as dn
-        normal, pos = dn.gbuffer(self.scene, self.cfg,
-                                 self.scene.packed_meshes)
+        # Mirror relay only once the reflection is sampled enough to be
+        # signal: measured crossover on cornell 128^2 (BENCHMARKS.md,
+        # round 3) — at 4-32 spp relayed edge-stopping blocks smoothing
+        # that still pays, from ~64 spp preserved reflection detail wins.
+        normal, pos, alb = dn.gbuffer(self.scene, self.cfg,
+                                      self.scene.packed_meshes, albedo=True,
+                                      relay=self.iteration >= 64)
         if self.adaptive:
             mean = jnp.asarray(self.accum) / jnp.maximum(
                 jnp.asarray(self.count, jnp.float32), 1.0)[:, :, None]
         else:
             mean = jnp.asarray(self.accum) / max(self.iteration, 1)
-        out = dn.atrous_denoise(mean, normal, pos)
+        out = dn.atrous_denoise(mean, normal, pos, albedo=alb)
         return np.asarray(out) * max(self.iteration, 1)
 
     def save(self, path_base: Optional[str] = None, hdr: bool = False,

@@ -47,6 +47,92 @@ def test_flat_region_noise_shrinks_edges_survive():
     assert right - left > 0.55                  # the edge survives
 
 
+def test_albedo_gbuffer_classes():
+    """cornell first-hit albedo plane: diffuse walls carry their material
+    color; the mirror sphere carries the RELAYED factor spec_color x
+    (reflected surface's albedo, or 1 on a reflected miss)."""
+    s = load_scene("/root/reference/scenes/cornell.txt")
+    s.camera.resolution = (64, 64)
+    s.camera.derive()
+    cfg = Renderer(s).cfg
+    normal, pos, alb = dn.gbuffer(s, cfg, s.packed_meshes, albedo=True)
+    alb = np.asarray(alb)
+    assert alb.shape == (64, 64, 3)
+    assert (alb >= 0).all() and (alb <= 1).all()
+    # the red and green wall colors both appear (cornell.txt MATERIAL 2/3)
+    for wall in ([.85, .35, .35], [.35, .85, .35]):
+        assert np.isclose(alb, wall, atol=1e-3).all(axis=-1).any(), wall
+    # the center pixel sees the mirror sphere head-on: the relayed ray
+    # lands on the diffuse-white back wall -> factor = .98 (spec) x .98
+    assert np.allclose(alb[32, 32], 0.98 * 0.98, atol=1e-3), alb[32, 32]
+    # and somewhere on the sphere the relay lands on the red wall:
+    # factors of spec x wall-color appear
+    assert np.isclose(alb, [.98 * .85, .98 * .35, .98 * .35],
+                      atol=2e-3).all(axis=-1).any()
+    # with the relay off, mirror pixels fall back to factor 1
+    _, _, alb0 = dn.gbuffer(s, cfg, s.packed_meshes, albedo=True,
+                            relay=False)
+    assert np.allclose(np.asarray(alb0)[32, 32], 1.0)
+
+
+def test_gbuffer_unswizzles_tiled_path_order():
+    """Mesh scenes emit paths tile-swizzled (TraceConfig.tile=32); the
+    G-buffers must come back in row-major pixel order — regression for
+    the block-scrambled G-buffer this produced."""
+    import dataclasses
+    s = load_scene("scenes/mesh.txt")
+    s.camera.resolution = (64, 64)
+    s.camera.derive()
+    r = Renderer(s)
+    assert r.cfg.tile == 32
+    tiled = dn.gbuffer(s, r.cfg, s.packed_meshes, albedo=True)
+    flat = dn.gbuffer(s, dataclasses.replace(r.cfg, tile=0),
+                      s.packed_meshes, albedo=True)
+    for a, b in zip(tiled, flat):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_demod_identity_when_albedo_one():
+    """albedo == 1 must reproduce the undemodulated filter bitwise."""
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.uniform(0, 1, (16, 16, 3)).astype(np.float32))
+    normal = jnp.zeros((16, 16, 3), jnp.float32)
+    pos = jnp.zeros((16, 16, 3), jnp.float32)
+    a = np.asarray(dn.atrous_denoise(img, normal, pos))
+    b = np.asarray(dn.atrous_denoise(img, normal, pos,
+                                     albedo=jnp.ones((16, 16, 3))))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_demod_preserves_texture_detail():
+    """Fine checker albedo x smooth illumination + noise: demodulated
+    filtering must beat plain filtering (which treats albedo edges as
+    noise/edges) by a wide margin."""
+    rng = np.random.default_rng(2)
+    h = w = 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    checker = np.where(((yy // 2 + xx // 2) % 2) > 0, 0.9, 0.2)
+    albedo = np.repeat(checker[:, :, None], 3, axis=-1).astype(np.float32)
+    illum = (0.4 + 0.3 * np.sin(xx / 17.0) * np.cos(yy / 23.0)
+             ).astype(np.float32)[:, :, None]
+    clean = albedo * illum
+    noisy = (albedo * (illum + rng.normal(0, 0.15, illum.shape))
+             ).astype(np.float32)
+    normal = np.zeros((h, w, 3), np.float32)
+    normal[..., 1] = 1.0
+    pos = np.zeros((h, w, 3), np.float32)
+    pos[..., 0] = xx * 0.02
+    pos[..., 2] = yy * 0.02
+    plain = np.asarray(dn.atrous_denoise(
+        jnp.asarray(noisy), jnp.asarray(normal), jnp.asarray(pos)))
+    demod = np.asarray(dn.atrous_denoise(
+        jnp.asarray(noisy), jnp.asarray(normal), jnp.asarray(pos),
+        albedo=jnp.asarray(albedo)))
+    rmse_plain = float(np.sqrt(((plain - clean) ** 2).mean()))
+    rmse_demod = float(np.sqrt(((demod - clean) ** 2).mean()))
+    assert rmse_demod < 0.6 * rmse_plain, (rmse_demod, rmse_plain)
+
+
 def test_renderer_denoise_improves_low_spp(tmp_path):
     """4-spp cornell denoised must land closer to a 160-spp reference
     than raw 4-spp does (the point of the Project-4 extension)."""
