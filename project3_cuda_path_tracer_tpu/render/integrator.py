@@ -202,6 +202,23 @@ class TraceConfig:
     # pixel) and trace_wavefront returns (per-path radiance, pixel ids)
     # for the caller to scatter along with per-sample luminance^2.
     adaptive: bool = False
+    # Temporal reservoir reuse for depth-0 direct lighting (--restir M):
+    # each pixel carries a weighted reservoir of its best light sample
+    # across progressive iterations (Bitterli et al. 2020 "ReSTIR", the
+    # temporal half; spatial reuse deliberately omitted — its
+    # neighbor-domain bias has no cheap correction). Per iteration the M
+    # fresh RIS candidates merge with the temporal reservoir (the stored
+    # light POINT's target is re-evaluated at the current shading point),
+    # one shadow ray is cast at the merged winner, and the winner is
+    # stored back with the standard M-cap (restir_cap * M). Effective
+    # candidate count grows to the cap at constant per-frame cost.
+    # Formally a small bias remains (the temporal sample was SELECTED
+    # under the previous iteration's jittered shading point); measured in
+    # tests/test_restir.py and BENCHMARKS.md. Deeper bounces use plain
+    # fresh RIS. Requires identity path order (no adaptive/sort/compact/
+    # tile/vmem_tiles) and the area-light NEE mode.
+    restir: bool = False
+    restir_cap: float = 20.0
 
 
 def trace_wavefront(
@@ -217,6 +234,7 @@ def trace_wavefront(
     iteration=None,
     pix_override=None,
     samp_index=None,
+    reservoir=None,
 ) -> wf.V3:
     """Trace one full iteration; returns per-pixel radiance as a planar V3
     of [N] planes.
@@ -241,6 +259,16 @@ def trace_wavefront(
         raise ValueError("adaptive sampling is incompatible with "
                          "sort_materials/compact/vmem_tiles (the path->"
                          "pixel mapping is no longer lane-derivable)")
+    if cfg.restir and reservoir is not None:
+        if (cfg.adaptive or cfg.sort_materials or cfg.compact
+                or cfg.vmem_tiles > 1 or cfg.tile or first_hit is not None):
+            raise ValueError("restir requires the identity path order "
+                             "(no adaptive/sort/compact/tile/vmem_tiles/"
+                             "first-bounce cache): the per-pixel reservoir "
+                             "is indexed by path slot")
+        if not (cfg.nee and cfg.nee_lights) or cfg.nee_env:
+            raise ValueError("restir needs the area-light NEE mode "
+                             "(nee_lights set, no env-map NEE)")
 
     o, d, times, pix = wf.generate_rays_planar(
         cam, cfg.width, cfg.height, k_gen,
@@ -395,9 +423,10 @@ def trace_wavefront(
         )
         radiance = V3(zeros, zeros, zeros)
 
-        def bounce(carry, inp):
+        def bounce(carry, inp, res=None):
             state, radiance = carry
             depth, k_d = inp
+            new_res = None
             hit = wf.intersect_planar(state.origin, state.direction,
                                       state.time, geoms, meshes, geom_types,
                                       packed_meshes, cfg.mesh_ids,
@@ -448,7 +477,7 @@ def trace_wavefront(
                     le = V3(le_rgb.x * le_s, le_rgb.y * le_s,
                             le_rgb.z * le_s)
                     pdf = 1.0 / jnp.maximum(lgeom, 1e-20)
-                    return wl, ldist, le, pdf
+                    return wl, ldist, le, pdf, lp, ln
 
                 def _shadow(wl, max_t=None):
                     return wf.intersect_planar(
@@ -464,7 +493,7 @@ def trace_wavefront(
                     # occlusion query — any hit blocks the sky).
                     q = cfg.nee_q
                     take_area = us[0] < q
-                    wl_a, ldist, le_a, pdf_a = _area_sample(us[1:4])
+                    wl_a, ldist, le_a, pdf_a, _, _ = _area_sample(us[1:4])
                     wl_e, le_e = nee_mod.sample_env_planar(textures,
                                                            *us[4:8])
                     pdf_e = jnp.maximum(
@@ -484,7 +513,7 @@ def trace_wavefront(
                         nee_mod.env_lum(le) * cfg.nee_env_c, 1e-20)
                     sh = _shadow(wl)
                     nee_info = (wl, sh.t <= 0.0, le, pdf)
-                elif cfg.nee_ris >= 2:
+                elif cfg.nee_ris >= 2 or cfg.restir:
                     # RIS / resampled importance sampling over M light
                     # candidates with ONE shadow ray (Talbot et al. 2005;
                     # the ReSTIR building block). Unbiased composition
@@ -498,9 +527,10 @@ def trace_wavefront(
                     # scaling le with s = sum_j t_j / (M * t_y): shade
                     # evaluates g(y) exactly (textured albedo, bump
                     # normal, glossy term) at the winner only.
-                    M = cfg.nee_ris
+                    M = max(cfg.nee_ris, 1)
                     uf = jax.random.uniform(
-                        jax.random.fold_in(k_l, 13), (3 * M + 1, n_loc),
+                        jax.random.fold_in(k_l, 13),
+                        (3 * M + (2 if res is not None else 1), n_loc),
                         jnp.float32)
                     alb = wf._mat_select(materials.color, hit.mat_id)
                     lum_b = jnp.maximum(
@@ -525,18 +555,17 @@ def trace_wavefront(
                                             hit.mat_id)
                         mirror = wf.reflect_planar(state.direction,
                                                    hit.normal)
-                    cands = []
-                    for j in range(M):
-                        wl_j, ld_j, le_j, pdf_j = _area_sample(
-                            (uf[3 * j], uf[3 * j + 1], uf[3 * j + 2]))
+                    def _target(wl_j, le_j, pdf_j):
+                        # scalar RIS target: the shade formula's
+                        # unshadowed contribution from BASE material
+                        # values (floored for positivity — any positive
+                        # target is unbiased); shared by fresh candidates
+                        # and the temporal reservoir's re-evaluation
                         cos_j = jnp.clip(
                             vec.dot(hit.normal, wl_j), 0.0, None)
                         pdf_bd_j = p_diff_b * cos_j * (1.0 / jnp.pi)
                         lum_le = (0.2126 * le_j.x + 0.7152 * le_j.y
                                   + 0.0722 * le_j.z)
-                        # diffuse target = the shade formula's unshadowed
-                        # diffuse term (base-material values, floored for
-                        # positivity — any positive target is unbiased)
                         t_j = (lum_le * lum_b * pdf_bd_j
                                / (pdf_j + pdf_bd_j + 1e-30))
                         if cfg.glossy:
@@ -553,37 +582,97 @@ def trace_wavefront(
                             t_j = t_j + (lum_le * lum_s * cos_j
                                          * (0.5 / jnp.pi)
                                          / (pdf_j + pdf_bd_j + 1e-30))
-                        cands.append((wl_j, ld_j, le_j, pdf_j, t_j))
-                    total = sum(c[4] for c in cands)
+                        return t_j
+
+                    cands = []
+                    for j in range(M):
+                        wl_j, ld_j, le_j, pdf_j, lp_j, ln_j = _area_sample(
+                            (uf[3 * j], uf[3 * j + 1], uf[3 * j + 2]))
+                        t_j = _target(wl_j, le_j, pdf_j)
+                        cands.append((wl_j, ld_j, le_j, pdf_j, lp_j,
+                                      ln_j, t_j))
+                    total = sum(c[6] for c in cands)
                     thresh = uf[3 * M] * total
                     # first candidate whose cumulative target crosses the
                     # threshold wins (weighted pick, one uniform)
                     cum = jnp.zeros_like(total)
                     chosen = None
-                    for j, (wl_j, ld_j, le_j, pdf_j, t_j) in \
-                            enumerate(cands):
+                    for (wl_j, ld_j, le_j, pdf_j, lp_j, ln_j, t_j) \
+                            in cands:
                         cum = cum + t_j
                         takej = (thresh < cum) if chosen is None else \
-                            (thresh < cum) & ~chosen[5]
+                            (thresh < cum) & ~chosen[7]
                         if chosen is None:
-                            chosen = [wl_j, ld_j, le_j, pdf_j, t_j, takej]
+                            chosen = [wl_j, ld_j, le_j, pdf_j, lp_j,
+                                      ln_j, t_j, takej]
                         else:
                             chosen = [
                                 vec.where(takej, wl_j, chosen[0]),
                                 jnp.where(takej, ld_j, chosen[1]),
                                 vec.where(takej, le_j, chosen[2]),
                                 jnp.where(takej, pdf_j, chosen[3]),
-                                jnp.where(takej, t_j, chosen[4]),
-                                chosen[5] | takej]
-                    wl, ldist, le, pdf, t_y = chosen[:5]
-                    s = jnp.where(t_y > 0.0,
-                                  total / (M * jnp.maximum(t_y, 1e-30)),
-                                  0.0)
+                                vec.where(takej, lp_j, chosen[4]),
+                                vec.where(takej, ln_j, chosen[5]),
+                                jnp.where(takej, t_j, chosen[6]),
+                                chosen[7] | takej]
+                    wl, ldist, le, pdf, lp_y, ln_y, t_y = chosen[:7]
+                    if res is not None:
+                        # Temporal reservoir merge (ReSTIR, depth 0 only):
+                        # re-evaluate the stored light POINT's target at
+                        # the current shading point, weigh it by its
+                        # carried W*M, and Bernoulli-pick between it and
+                        # the fresh RIS winner. The merged W both scales
+                        # le (the estimator) and is stored back.
+                        lp_p = V3(res["lpx"], res["lpy"], res["lpz"])
+                        ln_p = V3(res["lnx"], res["lny"], res["lnz"])
+                        le_p = V3(res["lex"], res["ley"], res["lez"])
+                        w_prev_w, m_prev = res["W"], res["M"]
+                        wl_p, ld_p, lg_p = nee_mod.shadow_setup(
+                            hit.point, lp_p, ln_p, cfg.nee_area)
+                        pdf_p = 1.0 / jnp.maximum(lg_p, 1e-20)
+                        t_p = jnp.where(m_prev > 0.0,
+                                        _target(wl_p, le_p, pdf_p), 0.0)
+                        w_temp = t_p * w_prev_w * m_prev
+                        wsum = total + w_temp
+                        take_prev = uf[3 * M + 1] * wsum < w_temp
+                        wl = vec.where(take_prev, wl_p, wl)
+                        ldist = jnp.where(take_prev, ld_p, ldist)
+                        le = vec.where(take_prev, le_p, le)
+                        pdf = jnp.where(take_prev, pdf_p, pdf)
+                        lp_y = vec.where(take_prev, lp_p, lp_y)
+                        ln_y = vec.where(take_prev, ln_p, ln_y)
+                        t_y = jnp.where(take_prev, t_p, t_y)
+                        m_new = jnp.float32(M) + m_prev
+                        s = jnp.where(
+                            t_y > 0.0,
+                            wsum / (m_new * jnp.maximum(t_y, 1e-30)), 0.0)
+                        # store the winner (pre-visibility, classic
+                        # temporal ReSTIR); miss/emissive first hits
+                        # invalidate their slot so stale light points
+                        # never leak across silhouettes
+                        em0 = wf._mat_select(materials.emittance,
+                                             hit.mat_id)
+                        valid = (hit.t > 0.0) & (em0 <= 0.0) & state.alive
+                        z = jnp.zeros_like(s)
+                        new_res = dict(
+                            lpx=lp_y.x, lpy=lp_y.y, lpz=lp_y.z,
+                            lnx=ln_y.x, lny=ln_y.y, lnz=ln_y.z,
+                            lex=le.x, ley=le.y, lez=le.z,
+                            W=jnp.where(valid, s, z),
+                            M=jnp.where(
+                                valid,
+                                jnp.minimum(
+                                    m_new,
+                                    jnp.float32(cfg.restir_cap * M)), z))
+                    else:
+                        s = jnp.where(
+                            t_y > 0.0,
+                            total / (M * jnp.maximum(t_y, 1e-30)), 0.0)
                     le = V3(le.x * s, le.y * s, le.z * s)
                     sh = _shadow(wl, max_t=ldist * (1.0 - 1e-3) - 1e-3)
                     nee_info = (wl, sh.t <= 0.0, le, pdf)
                 else:
-                    wl, ldist, le, pdf = _area_sample(us)
+                    wl, ldist, le, pdf, _, _ = _area_sample(us)
                     sh = _shadow(wl, max_t=ldist * (1.0 - 1e-3) - 1e-3)
                     nee_info = (wl, sh.t <= 0.0, le, pdf)
             if cfg.remat_save == "hits":
@@ -594,8 +683,9 @@ def trace_wavefront(
                     nee_info = jax.tree_util.tree_map(
                         lambda a: checkpoint_name(a, "hit"), nee_info)
             return _shade_and_advance(state, radiance, hit, depth, k_d,
-                                      tile_idx, nee_info), None
+                                      tile_idx, nee_info), new_res
 
+        raw_bounce = bounce
         if cfg.remat:
             if cfg.remat_save == "hits":
                 bounce = jax.checkpoint(
@@ -606,7 +696,16 @@ def trace_wavefront(
                 bounce = jax.checkpoint(bounce)
 
         start = 0
-        if first_hit is not None:
+        new_reservoir = None
+        if reservoir is not None:
+            # ReSTIR: the depth-0 bounce runs outside the scan (its
+            # reservoir merge/store is a one-off; the unwrapped bounce
+            # skips remat — restir is a forward-rendering mode)
+            carry, new_reservoir = raw_bounce(
+                (state, radiance), (depths[0], keys[0]), res=reservoir)
+            state, radiance = carry
+            start = 1
+        elif first_hit is not None:
             # First-bounce cache (reference slot: iteration-invariant
             # depth-0 intersections, src/pathtrace.cu:150,240): skip the
             # depth-0 intersect and reuse the cached Hit.
@@ -625,7 +724,7 @@ def trace_wavefront(
                 (state, radiance), _ = jax.lax.scan(
                     bounce, (state, radiance),
                     (depths[start:], keys[start:]))
-        return radiance
+        return radiance, new_reservoir
 
     tiled = (cfg.vmem_tiles > 1
              and not (cfg.sort_materials or cfg.compact)
@@ -637,16 +736,17 @@ def trace_wavefront(
 
         def tile_body(_, ti):
             sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ti * tn, tn)
-            rad = _run(V3(sl(o.x), sl(o.y), sl(o.z)),
-                       V3(sl(d.x), sl(d.y), sl(d.z)),
-                       sl(times), sl(pix), ti, None)
+            rad, _ = _run(V3(sl(o.x), sl(o.y), sl(o.z)),
+                          V3(sl(d.x), sl(d.y), sl(d.z)),
+                          sl(times), sl(pix), ti, None)
             return None, (rad.x, rad.y, rad.z)
 
         _, (rx, ry, rz) = jax.lax.scan(
             tile_body, None, jnp.arange(cfg.vmem_tiles, dtype=jnp.int32))
         radiance = V3(rx.reshape(n), ry.reshape(n), rz.reshape(n))
     else:
-        radiance = _run(o, d, times, state_pix, None, first_hit)
+        radiance, new_reservoir = _run(o, d, times, state_pix, None,
+                                       first_hit)
 
     if cfg.clamp > 0:
         c = jnp.float32(cfg.clamp)
@@ -666,6 +766,8 @@ def trace_wavefront(
         radiance = V3(jnp.zeros((n,), jnp.float32).at[pix].set(radiance.x),
                       jnp.zeros((n,), jnp.float32).at[pix].set(radiance.y),
                       jnp.zeros((n,), jnp.float32).at[pix].set(radiance.z))
+    if reservoir is not None:
+        return radiance, new_reservoir
     return radiance
 
 
