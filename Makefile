@@ -20,4 +20,11 @@ test:
 	  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 	  $(PY) -m pytest tests/ -q
 
-.PHONY: run cornell bench native test
+# Fast iteration loop: everything except @pytest.mark.slow (golden render,
+# multiprocess meshes, statistical RMSE comparisons) — target <5 min.
+test-fast:
+	env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+	  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	  $(PY) -m pytest tests/ -q -m "not slow"
+
+.PHONY: run cornell bench native test test-fast

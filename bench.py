@@ -5,11 +5,21 @@ material + camera parameters.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 The reference publishes no numbers (BASELINE.md: "published": {}), so round 1
-*establishes* the baseline; vs_baseline is relative to the round-1 value.
+*establishes* the baseline.
+
+Ratio accounting (round-4 verdict item): the headline comparison is
+``vs_prev`` — this run's scanned value over the previous round's scanned
+value parsed from the newest BENCH_r{n}.json, a like-for-like ratio.
+``vs_baseline`` (ratio to the round-1 recorded 3.9e7) is kept as a legacy
+field but overstates: the round-1 denominator was measured under per-step
+dispatch on a degraded tunnel, not the scanned methodology used since.
 """
 from __future__ import annotations
 
+import glob
 import json
+import os
+import re
 import sys
 import time
 
@@ -26,6 +36,24 @@ TIMED_STEPS = 20
 ROUND1_BASELINE_FWDBWD = 3.9e7
 
 
+def _prev_round_value() -> tuple[float, str] | None:
+    """Scanned segs/s from the newest BENCH_r{n}.json next to this file."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), p)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as f:
+            v = json.load(f)["parsed"]["value"]
+        return float(v), "r%02d" % best[0]
+    except (OSError, KeyError, ValueError, TypeError):
+        return None
+
+
 def main() -> int:
     import numpy as np
     import jax
@@ -33,7 +61,7 @@ def main() -> int:
     from project3_cuda_path_tracer_tpu import load_scene
     from project3_cuda_path_tracer_tpu.render.integrator import TraceConfig
     from project3_cuda_path_tracer_tpu.models.inverse import (
-        RenderParams, make_train_scan)
+        RenderParams, make_train_scan, make_seed_history)
 
     scene = load_scene("scenes/cornell.txt")
     assert scene.camera.resolution == (WIDTH, HEIGHT)
@@ -44,22 +72,30 @@ def main() -> int:
                       glossy=False, sky=False)
     # Production training-loop form: TIMED_STEPS optimizer steps scanned
     # inside one device program (models/inverse.make_train_scan) — the
-    # per-step host dispatch a real training run would also avoid.
+    # per-step host dispatch a real training run would also avoid. Round 4:
+    # the history-residual step (one render + backward per step; the
+    # detached MSE residual comes from the loop-carried EMA of past
+    # renders, seeded once before training — models/inverse.py docstring
+    # for the unbiasedness argument; fit-quality A/B in BENCHMARKS.md).
     opt, run = make_train_scan(scene.geoms, scene.meshes, scene.textures,
-                               cfg, num_steps=TIMED_STEPS)
+                               cfg, num_steps=TIMED_STEPS, history=True)
     params = jax.tree_util.tree_map(          # copy: the step donates
         jnp.array, RenderParams(materials=scene.materials,
                                 cam=scene.camera.flat()))
     opt_state = opt.init(params)
     target = jnp.zeros((HEIGHT, WIDTH, 3), jnp.float32)
     key = jax.random.PRNGKey(0)
+    seed_hist = make_seed_history(scene.geoms, scene.meshes, scene.textures,
+                                  cfg)
+    hist = seed_hist(params, jax.random.fold_in(key, 999))
 
     # warmup/compile (one full scanned epoch). Syncs use an explicit
     # host transfer (np.asarray) rather than block_until_ready: over the
     # remote-attach transport block_until_ready has been observed to
     # return before execution completes (sub-ms "timings" for a >25 ms
     # program), while a value transfer cannot lie.
-    params, opt_state, losses = run(params, opt_state, key, target)
+    params, opt_state, hist, losses = run(params, opt_state, hist, key,
+                                          target)
     np.asarray(losses)
 
     # Best of 3 epochs: the remote-attach transport has multi-second
@@ -68,8 +104,8 @@ def main() -> int:
     dt = float("inf")
     for r in range(1, 4):
         t0 = time.perf_counter()
-        params, opt_state, losses = run(params, opt_state,
-                                        jax.random.fold_in(key, r), target)
+        params, opt_state, hist, losses = run(
+            params, opt_state, hist, jax.random.fold_in(key, r), target)
         np.asarray(losses)
         dt = min(dt, time.perf_counter() - t0)
 
@@ -80,32 +116,45 @@ def main() -> int:
     # can be attributed to kernels vs dispatch conditions; the headline
     # metric stays the scanned-epoch form (fixed methodology since r1).
     from project3_cuda_path_tracer_tpu.models.inverse import make_train_step
-    _, step = make_train_step(scene.geoms, scene.meshes, scene.textures, cfg)
+    _, step = make_train_step(scene.geoms, scene.meshes, scene.textures, cfg,
+                              history=True)
     params2 = jax.tree_util.tree_map(
         jnp.array, RenderParams(materials=scene.materials,
                                 cam=scene.camera.flat()))
     opt_state2 = jax.tree_util.tree_map(jnp.array, opt.init(params2))
-    params2, opt_state2, l = step(params2, opt_state2, key, target)
+    hist2 = seed_hist(params2, jax.random.fold_in(key, 998))
+    params2, opt_state2, hist2, l = step(params2, opt_state2, hist2, key,
+                                         target)
     np.asarray(l)
     inline_dt = float("inf")
     for r in range(5):
         t0 = time.perf_counter()
-        params2, opt_state2, l = step(params2, opt_state2,
-                                      jax.random.fold_in(key, 100 + r),
-                                      target)
+        params2, opt_state2, hist2, l = step(params2, opt_state2, hist2,
+                                             jax.random.fold_in(key, 100 + r),
+                                             target)
         np.asarray(l)
         inline_dt = min(inline_dt, time.perf_counter() - t0)
     inline_segs = WIDTH * HEIGHT * DEPTH / inline_dt
 
-    print(json.dumps({
+    out = {
         "metric": "cornell_800x800_depth8_fwdbwd_path_segments_per_s",
         "value": round(segs_per_s, 1),
         "unit": "rays/s",
+    }
+    prev = _prev_round_value()
+    if prev is not None:
+        # Headline ratio: like-for-like (scanned vs scanned, same script).
+        out["vs_prev"] = round(segs_per_s / prev[0], 4)
+        out["prev_round"] = prev[1]
+    out.update({
+        # Legacy ratio vs the round-1 per-step-dispatch number; overstates
+        # (see module docstring) — kept for continuity only.
         "vs_baseline": round(segs_per_s / ROUND1_BASELINE_FWDBWD, 4),
         "scanned_ms_per_step": round(dt * 1e3 / TIMED_STEPS, 2),
         "inline_ms_per_step": round(inline_dt * 1e3, 2),
         "inline_segs_per_s": round(inline_segs, 1),
-    }))
+    })
+    print(json.dumps(out))
     return 0
 
 

@@ -66,6 +66,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "from M area-light candidates per bounce "
                         "(implies --nee; area-light scenes only; "
                         "unbiased)")
+    p.add_argument("--restir", type=int, default=0, metavar="M",
+                   help="temporal ReSTIR direct lighting: per-pixel "
+                        "reservoir reused across iterations over M fresh "
+                        "RIS candidates per frame (implies --nee; "
+                        "area-light scenes; small documented bias — "
+                        "tests/test_restir.py)")
+    p.add_argument("--restir-cap", type=float, default=20.0,
+                   help="temporal reservoir M-cap as a multiple of the "
+                        "per-frame candidate count (default 20)")
     p.add_argument("--adaptive", action="store_true",
                    help="adaptive sampling: re-allocate the per-iteration "
                         "path budget to high-variance pixels every "
@@ -77,6 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bilinear", action="store_true",
                    help="bilinear texture/env filtering (4 corner "
                         "fetches + lerp; nearest is the default)")
+    p.add_argument("--bilinear-fast", action="store_true",
+                   help="with --bilinear: 2-gather RGB565 pair-plane "
+                        "filtering (mag-filter atlas quality, nearest "
+                        "env on the fused path) instead of the exact "
+                        "4-gather form")
     p.add_argument("--clamp", type=float, default=0.0, metavar="R",
                    help="per-sample radiance clamp (firefly suppression; "
                         "biased, opt-in; pairs well with --denoise)")
@@ -138,8 +152,10 @@ def main(argv=None) -> int:
     st.sort_materials = args.sort
     st.compact = args.compact
     st.russian_roulette = args.russian_roulette
-    st.nee = args.nee or args.nee_ris >= 2
+    st.nee = args.nee or args.nee_ris >= 2 or args.restir >= 1
     st.nee_ris = args.nee_ris
+    st.restir = args.restir
+    st.restir_cap = args.restir_cap
     st.stratified = args.stratified
     st.strat_impl = args.sampler
     st.bake_scene = not args.no_bake
@@ -147,10 +163,17 @@ def main(argv=None) -> int:
     st.adaptive = args.adaptive
     st.adaptive_epoch = args.adaptive_epoch
     st.clamp = args.clamp
-    st.bilinear = args.bilinear
+    st.bilinear = args.bilinear or args.bilinear_fast
+    st.bilinear_fast = args.bilinear_fast
     if args.adaptive and (args.megakernel or args.sort or args.compact):
         print("--adaptive is incompatible with "
               "--megakernel/--sort/--compact", file=sys.stderr)
+        return 2
+    if args.restir and (args.megakernel or args.sort or args.compact
+                        or args.adaptive or args.sharded):
+        print("--restir is incompatible with --megakernel/--sort/"
+              "--compact/--adaptive/--sharded (identity single-device "
+              "path order required)", file=sys.stderr)
         return 2
     os.makedirs(args.outdir, exist_ok=True)
     base = os.path.join(args.outdir, args.out or st.image_name)

@@ -64,6 +64,52 @@ def unbiased_mse_grad_loss(params: RenderParams, geoms, meshes, textures,
     return 2.0 * jnp.mean((primal - target) * diff)
 
 
+# Default EMA decay for the history residual (see history_residual_grad_loss).
+# 0.0 = the residual is simply the PREVIOUS step's detached render: same
+# residual variance as the two-render loss, one step stale, half the cost.
+# MEASURED (tests/test_grad.py fit A/B, 16x16 cornell albedo recovery, 250
+# masked-adam steps): beta=0.0 recovers (1.05 vs true 0.98, on par with the
+# two-render loss), while EVERY beta>0 diverges or stalls (0.3 -> ~0.6,
+# 0.9 -> ~0.3): the EMA correlates the residual across steps, and the
+# resulting correlated gradient noise + feedback through the model's own
+# renders destabilizes the fit. Keep 0.0 unless you re-measure.
+HISTORY_DECAY = 0.0
+
+
+def history_residual_grad_loss(params, geoms, meshes, textures, key, cfg,
+                               target: jnp.ndarray, residual: jnp.ndarray,
+                               packed_meshes=()) -> Tuple[jnp.ndarray,
+                                                          jnp.ndarray]:
+    """ONE-render surrogate loss for the training loop: the detached
+    residual factor of `unbiased_mse_grad_loss` is supplied by the CALLER
+    (the training loop's running EMA of past renders) instead of being
+    re-rendered every step.
+
+    Why this is sound: the surrogate's gradient is
+    2·mean((residual − target) · dL/dθ). It is an unbiased estimator of
+    the true gradient 2·mean((E[L] − target) · dE[L]/dθ) whenever the
+    residual is (a) detached and (b) statistically independent of THIS
+    step's render — samples from *previous* iterations satisfy both by
+    construction, and their average has far lower variance than one fresh
+    render. The one caveat is staleness: past renders were taken at past
+    θ, so the residual lags E[L(θ_now)]. With the default decay
+    (HISTORY_DECAY = 0.0, i.e. the residual IS the previous step's
+    render) the lag is one optimizer step — second-order in the learning
+    rate, and measured on par with the two-render loss on the fit
+    benchmarks (tests/test_grad.py::test_history_scan_recovers_albedo,
+    tools/inverse_demo.py A/B in BENCHMARKS.md). Decays >0 were measured
+    UNSTABLE — see the HISTORY_DECAY comment. This halves the train step
+    (one render + backward instead of two renders + backward) — the
+    round-3→4 fwd+bwd throughput lever.
+
+    Returns (loss, rendered_image): the caller folds the (detached) image
+    into its history EMA for the next step."""
+    diff = render_image(params, geoms, meshes, textures, key, cfg,
+                        packed_meshes)
+    res = jax.lax.stop_gradient(residual)
+    return 2.0 * jnp.mean((res - target) * diff), diff
+
+
 def _bake_static_tables(geoms, textures, bake: bool):
     """Convert the NON-differentiable scene tables to host constants so
     XLA folds them (render/integrator.bake_tables rationale; 1.35x on the
@@ -81,22 +127,63 @@ def _bake_static_tables(geoms, textures, bake: bool):
     return geoms, textures
 
 
+def make_seed_history(geoms, meshes, textures, cfg: integ.TraceConfig,
+                      packed_meshes=(), bake: bool = True):
+    """Jitted (params, key) -> detached [H,W,3] render that seeds the
+    history-residual EMA (one forward pass, run ONCE before training)."""
+    geoms, textures = _bake_static_tables(geoms, textures, bake)
+
+    @jax.jit
+    def seed(params: RenderParams, key):
+        return jax.lax.stop_gradient(render_image(
+            params, geoms, meshes, textures, key, cfg, packed_meshes))
+
+    return seed
+
+
 def make_train_step(geoms, meshes, textures, cfg: integ.TraceConfig,
                     optimizer=None, unbiased: bool = True,
-                    packed_meshes=(), bake: bool = True):
+                    packed_meshes=(), bake: bool = True,
+                    history: bool = False,
+                    history_decay: float = HISTORY_DECAY):
     """Build a jitted (params, opt_state, key, target) -> (params, opt_state,
     loss) step. Under a sharded jit the pixel loss is data-parallel and the
     replicated-parameter gradients get an automatic psum over the mesh.
 
-    The step DONATES params/opt_state — do not pass arrays you still need
-    (copy with tree_map(jnp.array, ...) first if they alias scene tables).
+    ``history=True`` switches to the one-render history-residual step
+    (history_residual_grad_loss): signature becomes
+    (params, opt_state, hist, key, target) -> (params, opt_state, hist,
+    loss), where `hist` is the residual EMA image — seed it with
+    make_seed_history, then thread it through every call.
+
+    The step DONATES params/opt_state (and hist) — do not pass arrays you
+    still need (copy with tree_map(jnp.array, ...) first if they alias
+    scene tables).
     """
     import optax
     opt = optimizer or optax.adam(1e-2)
-    loss_fn = unbiased_mse_grad_loss if unbiased else mse_loss
     geoms, textures = _bake_static_tables(geoms, textures, bake)
 
     from functools import partial
+
+    if history:
+        beta = jnp.float32(history_decay)
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def hstep(params: RenderParams, opt_state, hist, key, target):
+            def lf(p):
+                return history_residual_grad_loss(
+                    p, geoms, meshes, textures, key, cfg, target, hist,
+                    packed_meshes)
+            (loss, img), grads = jax.value_and_grad(lf, has_aux=True)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            hist = beta * hist + (1.0 - beta) * jax.lax.stop_gradient(img)
+            return params, opt_state, hist, loss
+
+        return opt, hstep
+
+    loss_fn = unbiased_mse_grad_loss if unbiased else mse_loss
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params: RenderParams, opt_state, key, target):
@@ -112,21 +199,60 @@ def make_train_step(geoms, meshes, textures, cfg: integ.TraceConfig,
 
 def make_train_scan(geoms, meshes, textures, cfg: integ.TraceConfig,
                     num_steps: int, optimizer=None, unbiased: bool = True,
-                    packed_meshes=(), bake: bool = True):
-    """Build a jitted (params, opt_state, key, target) -> (params, opt_state,
-    losses[num_steps]) function that runs `num_steps` optimizer steps in ONE
+                    packed_meshes=(), bake: bool = True,
+                    history: bool = True,
+                    history_decay: float = HISTORY_DECAY):
+    """Build a jitted function that runs `num_steps` optimizer steps in ONE
     device program via lax.scan — the production training-loop form. Per-step
     host dispatch costs tens of ms over a remote-attached chip; scanning the
     loop on device removes all of it (and is the standard JAX idiom for
     training epochs). RNG: step i uses fold_in(key, i), matching what the
     equivalent make_train_step loop would do.
 
-    Donates params/opt_state like make_train_step (copy aliased arrays
-    first)."""
+    ``history=True`` (the default — the round-4 throughput form) uses the
+    one-render history-residual step: signature
+    (params, opt_state, hist, key, target) -> (params, opt_state, hist,
+    losses[num_steps]); the residual EMA is loop-carried through the scan
+    AND across epochs (seed it once with make_seed_history). One render +
+    backward per step instead of two renders + backward — measured ~1.5x
+    step throughput at equal fit quality (BENCHMARKS.md round 4).
+    ``history=False`` gives the original two-render form
+    (params, opt_state, key, target) -> (params, opt_state, losses).
+
+    Donates params/opt_state (and hist) like make_train_step (copy aliased
+    arrays first)."""
     import optax
     opt = optimizer or optax.adam(1e-2)
-    loss_fn = unbiased_mse_grad_loss if unbiased else mse_loss
     geoms, textures = _bake_static_tables(geoms, textures, bake)
+
+    if history:
+        beta = jnp.float32(history_decay)
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def hrun(params: RenderParams, opt_state, hist, key, target):
+            def one(carry, i):
+                params, opt_state, hist = carry
+
+                def lf(p):
+                    return history_residual_grad_loss(
+                        p, geoms, meshes, textures,
+                        jax.random.fold_in(key, i), cfg, target, hist,
+                        packed_meshes)
+                (loss, img), grads = jax.value_and_grad(
+                    lf, has_aux=True)(params)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                hist = (beta * hist
+                        + (1.0 - beta) * jax.lax.stop_gradient(img))
+                return (params, opt_state, hist), loss
+
+            (params, opt_state, hist), losses = jax.lax.scan(
+                one, (params, opt_state, hist), jnp.arange(num_steps))
+            return params, opt_state, hist, losses
+
+        return opt, hrun
+
+    loss_fn = unbiased_mse_grad_loss if unbiased else mse_loss
 
     @partial(jax.jit, donate_argnums=(0, 1), static_argnames=())
     def run(params: RenderParams, opt_state, key, target):
@@ -151,7 +277,8 @@ class InverseRenderer:
 
     def __init__(self, scene: T.Scene, target: np.ndarray,
                  spp_per_step: int = 1, learning_rate: float = 1e-2,
-                 trace_depth: Optional[int] = None, seed: int = 0):
+                 trace_depth: Optional[int] = None, seed: int = 0,
+                 history: bool = True):
         import optax
         w, h = scene.camera.resolution
         types = np.asarray(scene.geoms.type)
@@ -175,20 +302,35 @@ class InverseRenderer:
         self.params = jax.tree_util.tree_map(
             jnp.array, RenderParams(materials=scene.materials,
                                     cam=scene.camera.flat()))
+        self.history = history
         self.opt, self._step = make_train_step(
             scene.geoms, scene.meshes, scene.textures, self.cfg,
             optimizer=optax.adam(learning_rate),
-            packed_meshes=scene.packed_meshes)
+            packed_meshes=scene.packed_meshes, history=history)
         self.opt_state = self.opt.init(self.params)
         self.key = jax.random.PRNGKey(seed)
         self.spp = spp_per_step
+        self.hist = None
+        if history:
+            self._seed_hist = make_seed_history(
+                scene.geoms, scene.meshes, scene.textures, self.cfg,
+                packed_meshes=scene.packed_meshes)
 
     def step(self) -> float:
         loss = None
+        if self.history and self.hist is None:
+            # Seed the residual EMA with ONE detached render — the first
+            # history step is then exactly the two-render unbiased loss.
+            self.key, k = jax.random.split(self.key)
+            self.hist = self._seed_hist(self.params, k)
         for _ in range(self.spp):
             self.key, k = jax.random.split(self.key)
-            self.params, self.opt_state, loss = self._step(
-                self.params, self.opt_state, k, self.target)
+            if self.history:
+                self.params, self.opt_state, self.hist, loss = self._step(
+                    self.params, self.opt_state, self.hist, k, self.target)
+            else:
+                self.params, self.opt_state, loss = self._step(
+                    self.params, self.opt_state, k, self.target)
         return float(loss)
 
     def fit(self, steps: int) -> list:

@@ -819,6 +819,11 @@ def _atlas_bilinear_indices(textures: T.Textures, mat_id, u, v):
     y0 = jnp.floor(yf)
     fu = xf - x0
     fv = yf - y0
+    # left-edge clamp: x0 < 0 means both horizontal corners clamp to
+    # texel 0 so the lerp weight is irrelevant for the exact path — but
+    # the PAIR plane (--bilinear-fast) always returns (t0, t1) there, so
+    # fu must collapse to 0 to reproduce the clamped fetch.
+    fu = jnp.where(x0 < 0.0, 0.0, fu)
     hi_x = jnp.maximum(rw - 1, 0.0)
     hi_y = jnp.maximum(rh - 1, 0.0)
     ha, wa = textures.atlas.shape[0], textures.atlas.shape[1]
@@ -853,6 +858,21 @@ def _env_bilinear_indices(textures: T.Textures, d: V3):
 
     return (at(x0, y0), at(x0 + 1, y0), at(x0, y0 + 1),
             at(x0 + 1, y0 + 1), fu, fv)
+
+
+def _unpack_565pair(p):
+    """One atlas_pair u32 -> (texel, right-neighbor texel) as linear f32
+    RGB at RGB565 precision (scene/types.py atlas_pair; parser builds the
+    plane with in-rect neighbor clamping). Masks after the arithmetic
+    shifts make int32 sign-extension harmless."""
+    p = p.astype(jnp.int32)
+
+    def one(q):
+        return V3((q & 31).astype(jnp.float32) / 31.0,
+                  ((q >> 5) & 63).astype(jnp.float32) / 63.0,
+                  ((q >> 11) & 31).astype(jnp.float32) / 31.0)
+
+    return one(p), one(p >> 16)
 
 
 def _bilerp(c00: V3, c10: V3, c01: V3, c11: V3, fu, fv) -> V3:
@@ -946,7 +966,8 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
                  nee_area: float = 0.0, nee_env_c: float = 0.0,
                  nee_q: float = 1.0, bump: bool = False,
                  nmap: bool = False, dispersion: bool = False,
-                 bilinear: bool = False) -> ShadeOutP:
+                 bilinear: bool = False,
+                 bilinear_fast: bool = False) -> ShadeOutP:
     """One scattering step over the wavefront; uniforms is [4,N].
 
     `glossy` / `sky` (static) gate the Phong-lobe and procedural-sky math —
@@ -994,8 +1015,36 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
     fuse = (has_atlas and has_env
             and textures.atlas_packed.shape[0] == ha * wa
             and textures.env_packed.shape[0] == he * we)
+    has_pair = textures.atlas_pair.shape[0] == ha * wa
     env_fused = None
-    if fuse and bilinear:
+    if fuse and bilinear and bilinear_fast and has_pair:
+        # --bilinear-fast under the fused path: TWO u32 gathers instead of
+        # four. Each atlas_pair entry carries a full bilinear ROW (texel +
+        # in-rect right neighbor at RGB565), so gathers at (x0,y0) and
+        # (x0,y0+1) supply all four corners; env (miss) lanes ride the
+        # same two takes and use the first as a NEAREST RGBE fetch
+        # (documented: mag-filter atlas quality, nearest env).
+        on_env = hit.t <= 0.0
+        a00, _, a01, _, fu, fv, textured = _atlas_bilinear_indices(
+            textures, mat_id, hit.u, hit.v)
+        eflat = _env_flat_index(textures, ray_d)
+        table = jnp.concatenate([textures.atlas_pair,
+                                 textures.env_packed])
+        p_top = jnp.take(table, jnp.where(on_env, eflat + ha * wa, a00))
+        p_bot = jnp.take(table, jnp.where(on_env, eflat + ha * wa, a01))
+        c00, c10 = _unpack_565pair(p_top)
+        c01, c11 = _unpack_565pair(p_bot)
+        albedo = vec.where(textured & ~on_env,
+                           _bilerp(c00, c10, c01, c11, fu, fv), albedo)
+        env_fused = _unpack_rgbe(p_top, textures.env_enabled)
+    elif has_atlas and bilinear and bilinear_fast and has_pair:
+        a00, _, a01, _, fu, fv, textured = _atlas_bilinear_indices(
+            textures, mat_id, hit.u, hit.v)
+        c00, c10 = _unpack_565pair(jnp.take(textures.atlas_pair, a00))
+        c01, c11 = _unpack_565pair(jnp.take(textures.atlas_pair, a01))
+        albedo = vec.where(textured,
+                           _bilerp(c00, c10, c01, c11, fu, fv), albedo)
+    elif fuse and bilinear:
         # bilinear filtering (--bilinear): 4 fused corner fetches + lerp
         # (4x the gather cost — opt-in quality; nearest is the default
         # like the reference's stb-free sampling)

@@ -187,6 +187,11 @@ class TraceConfig:
     # Bilinear texture/env filtering (--bilinear): 4 corner fetches +
     # lerp instead of nearest — 4x the gather cost, opt-in quality.
     bilinear: bool = False
+    # --bilinear-fast: 2-gather bilinear via the RGB565 horizontal-pair
+    # plane (Textures.atlas_pair) — mag-filter (5/6-bit) atlas quality,
+    # nearest env on the fused path; falls back to the exact 4-gather
+    # form when the pair plane is absent (ops/wavefront.shade_planar).
+    bilinear_fast: bool = False
     # Per-sample radiance clamp (--clamp R; 0 = off): caps each path's
     # per-iteration radiance — the standard production firefly
     # suppressor. BIASED (darkens rare bright transport); opt-in, pairs
@@ -210,13 +215,21 @@ class TraceConfig:
     # fresh RIS candidates merge with the temporal reservoir (the stored
     # light POINT's target is re-evaluated at the current shading point),
     # one shadow ray is cast at the merged winner, and the winner is
-    # stored back with the standard M-cap (restir_cap * M). Effective
-    # candidate count grows to the cap at constant per-frame cost.
-    # Formally a small bias remains (the temporal sample was SELECTED
-    # under the previous iteration's jittered shading point); measured in
-    # tests/test_restir.py and BENCHMARKS.md. Deeper bounces use plain
-    # fresh RIS. Requires identity path order (no adaptive/sort/compact/
-    # tile/vmem_tiles) and the area-light NEE mode.
+    # stored back with the standard M-cap (restir_cap * M), PRE-
+    # visibility ("visibility reuse" was tried and reverted — it biased
+    # the mean; see the store-site comment below). Effective candidate
+    # count grows to the cap at constant per-frame cost. Formally a
+    # small bias remains (the temporal sample was
+    # SELECTED under the previous iteration's jittered shading point);
+    # measured in tests/test_restir.py and BENCHMARKS.md. HONEST
+    # MEASURED VERDICT (BENCHMARKS.md round 4): this is a REAL-TIME
+    # feature — per-frame direct-light quality improves, but under
+    # progressive ACCUMULATION the reused winner correlates consecutive
+    # frames, so at equal spp it is neutral-to-slightly-worse (0.94-1.0x)
+    # than fresh --nee-ris on the 12-light scene; use it for interactive
+    # preview (app/preview.py), not batch convergence. Deeper bounces use
+    # plain fresh RIS. Requires identity path order (no adaptive/sort/
+    # compact/tile/vmem_tiles) and the area-light NEE mode.
     restir: bool = False
     restir_cap: float = 20.0
 
@@ -361,7 +374,7 @@ def trace_wavefront(
             nee_q=(cfg.nee_q if (cfg.nee_lights and cfg.nee_env)
                    else 1.0 if cfg.nee_lights else 0.0),
             bump=cfg.bump, nmap=cfg.nmap, dispersion=cfg.dispersion,
-            bilinear=cfg.bilinear)
+            bilinear=cfg.bilinear, bilinear_fast=cfg.bilinear_fast)
         if cfg.nee and out.nee_pdf is None:
             out = out._replace(nee_pdf=jnp.zeros((nl,), jnp.float32))
         if cfg.sort_materials or cfg.compact:
@@ -486,11 +499,13 @@ def trace_wavefront(
                         alive=state.alive, sdf_kinds=cfg.sdf_kinds,
                         any_hit=True, max_t=max_t)
 
-                if mixed:
+                if mixed and cfg.nee_ris < 2:
                     # One-sample mixture: pick the area union with the
                     # static probability q, the env map otherwise; ONE
                     # shadow ray either way (env lanes get an unbounded
-                    # occlusion query — any hit blocks the sky).
+                    # occlusion query — any hit blocks the sky). With
+                    # --nee-ris M the RIS branch below draws its M
+                    # candidates from this same mixture instead.
                     q = cfg.nee_q
                     take_area = us[0] < q
                     wl_a, ldist, le_a, pdf_a, _, _ = _area_sample(us[1:4])
@@ -507,7 +522,7 @@ def trace_wavefront(
                                       jnp.float32(wf.BIG))
                     sh = _shadow(wl, max_t=max_t)
                     nee_info = (wl, sh.t <= 0.0, le, pdf)
-                elif cfg.nee_env:
+                elif cfg.nee_env and not mixed:
                     wl, le = nee_mod.sample_env_planar(textures, *us)
                     pdf = jnp.maximum(
                         nee_mod.env_lum(le) * cfg.nee_env_c, 1e-20)
@@ -528,9 +543,14 @@ def trace_wavefront(
                     # evaluates g(y) exactly (textured albedo, bump
                     # normal, glossy term) at the winner only.
                     M = max(cfg.nee_ris, 1)
+                    # mixed scenes (area lights + env map): each candidate
+                    # is drawn from the SAME one-sample mixture the plain
+                    # mixed branch uses (1 selector + up to 4 sample dims);
+                    # area-only candidates need 3 dims.
+                    cdim = 5 if mixed else 3
                     uf = jax.random.uniform(
                         jax.random.fold_in(k_l, 13),
-                        (3 * M + (2 if res is not None else 1), n_loc),
+                        (cdim * M + (2 if res is not None else 1), n_loc),
                         jnp.float32)
                     alb = wf._mat_select(materials.color, hit.mat_id)
                     lum_b = jnp.maximum(
@@ -586,25 +606,45 @@ def trace_wavefront(
 
                     cands = []
                     for j in range(M):
-                        wl_j, ld_j, le_j, pdf_j, lp_j, ln_j = _area_sample(
-                            (uf[3 * j], uf[3 * j + 1], uf[3 * j + 2]))
+                        if mixed:
+                            u0 = uf[cdim * j]
+                            u14 = uf[cdim * j + 1:cdim * j + 5]
+                            wl_a, ld_a, le_a, pdf_a, lp_j, ln_j = \
+                                _area_sample((u14[0], u14[1], u14[2]))
+                            wl_e, le_e = nee_mod.sample_env_planar(
+                                textures, u14[0], u14[1], u14[2], u14[3])
+                            pdf_e = jnp.maximum(
+                                nee_mod.env_lum(le_e) * cfg.nee_env_c,
+                                1e-20)
+                            ia_j = u0 < cfg.nee_q
+                            wl_j = vec.where(ia_j, wl_a, wl_e)
+                            le_j = vec.where(ia_j, le_a, le_e)
+                            pdf_j = jnp.where(ia_j, pdf_a * cfg.nee_q,
+                                              pdf_e * (1.0 - cfg.nee_q))
+                            ld_j = jnp.where(ia_j, ld_a,
+                                             jnp.float32(wf.BIG))
+                        else:
+                            wl_j, ld_j, le_j, pdf_j, lp_j, ln_j = \
+                                _area_sample((uf[3 * j], uf[3 * j + 1],
+                                              uf[3 * j + 2]))
+                            ia_j = None
                         t_j = _target(wl_j, le_j, pdf_j)
                         cands.append((wl_j, ld_j, le_j, pdf_j, lp_j,
-                                      ln_j, t_j))
+                                      ln_j, t_j, ia_j))
                     total = sum(c[6] for c in cands)
-                    thresh = uf[3 * M] * total
+                    thresh = uf[cdim * M] * total
                     # first candidate whose cumulative target crosses the
                     # threshold wins (weighted pick, one uniform)
                     cum = jnp.zeros_like(total)
                     chosen = None
-                    for (wl_j, ld_j, le_j, pdf_j, lp_j, ln_j, t_j) \
+                    for (wl_j, ld_j, le_j, pdf_j, lp_j, ln_j, t_j, ia_j) \
                             in cands:
                         cum = cum + t_j
                         takej = (thresh < cum) if chosen is None else \
-                            (thresh < cum) & ~chosen[7]
+                            (thresh < cum) & ~chosen[8]
                         if chosen is None:
                             chosen = [wl_j, ld_j, le_j, pdf_j, lp_j,
-                                      ln_j, t_j, takej]
+                                      ln_j, t_j, ia_j, takej]
                         else:
                             chosen = [
                                 vec.where(takej, wl_j, chosen[0]),
@@ -614,8 +654,10 @@ def trace_wavefront(
                                 vec.where(takej, lp_j, chosen[4]),
                                 vec.where(takej, ln_j, chosen[5]),
                                 jnp.where(takej, t_j, chosen[6]),
-                                chosen[7] | takej]
-                    wl, ldist, le, pdf, lp_y, ln_y, t_y = chosen[:7]
+                                (jnp.where(takej, ia_j, chosen[7])
+                                 if mixed else None),
+                                chosen[8] | takej]
+                    wl, ldist, le, pdf, lp_y, ln_y, t_y, ia_y = chosen[:8]
                     if res is not None:
                         # Temporal reservoir merge (ReSTIR, depth 0 only):
                         # re-evaluate the stored light POINT's target at
@@ -646,10 +688,33 @@ def trace_wavefront(
                         s = jnp.where(
                             t_y > 0.0,
                             wsum / (m_new * jnp.maximum(t_y, 1e-30)), 0.0)
-                        # store the winner (pre-visibility, classic
-                        # temporal ReSTIR); miss/emissive first hits
-                        # invalidate their slot so stale light points
-                        # never leak across silhouettes
+                    else:
+                        s = jnp.where(
+                            t_y > 0.0,
+                            total / (M * jnp.maximum(t_y, 1e-30)), 0.0)
+                    le_s = V3(le.x * s, le.y * s, le.z * s)
+                    max_t = ldist * (1.0 - 1e-3) - 1e-3
+                    if mixed:
+                        # env winners need an unbounded occlusion query
+                        max_t = jnp.where(ia_y, max_t,
+                                          jnp.float32(wf.BIG))
+                    sh = _shadow(wl, max_t=max_t)
+                    vis = sh.t <= 0.0
+                    if res is not None:
+                        # Store the winner PRE-visibility (classic
+                        # temporal ReSTIR). "Visibility reuse" (restart
+                        # occluded winners, Bitterli et al. 2020 §5) was
+                        # TRIED and REVERTED: on manylights it moved the
+                        # equal-spp quality curve by <1.5% (the lights
+                        # are unoccluded) but introduced a measurable
+                        # mean shift — restarting conditioned on
+                        # occlusion over-represents visible samples
+                        # while the m_new bookkeeping assumes
+                        # unconditional merges (tests/test_restir.py
+                        # bias tests caught it; BENCHMARKS.md round 4).
+                        # Invalidated slots: miss/emissive first hits,
+                        # so stale light points never leak across
+                        # silhouettes.
                         em0 = wf._mat_select(materials.emittance,
                                              hit.mat_id)
                         valid = (hit.t > 0.0) & (em0 <= 0.0) & state.alive
@@ -664,13 +729,7 @@ def trace_wavefront(
                                 jnp.minimum(
                                     m_new,
                                     jnp.float32(cfg.restir_cap * M)), z))
-                    else:
-                        s = jnp.where(
-                            t_y > 0.0,
-                            total / (M * jnp.maximum(t_y, 1e-30)), 0.0)
-                    le = V3(le.x * s, le.y * s, le.z * s)
-                    sh = _shadow(wl, max_t=ldist * (1.0 - 1e-3) - 1e-3)
-                    nee_info = (wl, sh.t <= 0.0, le, pdf)
+                    nee_info = (wl, vis, le_s, pdf)
                 else:
                     wl, ldist, le, pdf, _, _ = _area_sample(us)
                     sh = _shadow(wl, max_t=ldist * (1.0 - 1e-3) - 1e-3)
@@ -836,6 +895,18 @@ def render_chunk(accum, materials, cam, geoms, meshes, textures, base_key,
     return out
 
 
+def init_reservoir(n: int) -> dict:
+    """Empty per-pixel temporal reservoir (ReSTIR, --restir M): light
+    point/normal/emission planes plus the running (W, M) pair. M == 0
+    marks an empty slot — the merge's re-evaluated target is zeroed
+    there, so the first iteration reduces to plain fresh RIS. Each plane
+    is a DISTINCT buffer (the chunk program donates them; aliased
+    donated arguments are rejected)."""
+    return {k: jnp.zeros((n,), jnp.float32)
+            for k in ("lpx", "lpy", "lpz", "lnx", "lny", "lnz",
+                      "lex", "ley", "lez", "W", "M")}
+
+
 def render_samples(scene: T.Scene, num_iterations: int,
                    seed: Optional[int] = None) -> np.ndarray:
     """Convenience: render `num_iterations` samples/pixel, return the raw
@@ -973,9 +1044,34 @@ class Renderer:
             nee_ris=int(getattr(self.settings, "nee_ris", 0)),
             clamp=float(getattr(self.settings, "clamp", 0.0)),
             bilinear=bool(getattr(self.settings, "bilinear", False)),
+            bilinear_fast=bool(getattr(self.settings, "bilinear_fast",
+                                       False)),
         )
-        if getattr(self.settings, "nee", False):
+        restir_m = int(getattr(self.settings, "restir", 0))
+        if restir_m >= 1:
+            # --restir M: depth-0 temporal reservoir over M fresh RIS
+            # candidates. Needs the identity path order (the reservoir is
+            # indexed by path slot), so the mesh-scene tile swizzle is
+            # dropped here, and the area-light NEE mode (checked after
+            # _wire_nee below).
+            if self.cfg.adaptive or self.cfg.sort_materials or self.cfg.compact:
+                raise ValueError("--restir is incompatible with "
+                                 "--adaptive/--sort/--compact (identity "
+                                 "path order required)")
+            self.cfg = dataclasses.replace(
+                self.cfg, restir=True, tile=0,
+                nee_ris=max(restir_m, self.cfg.nee_ris),
+                restir_cap=float(getattr(self.settings, "restir_cap", 20.0)))
+        if getattr(self.settings, "nee", False) or restir_m >= 1:
             self.cfg = _wire_nee(scene, self.cfg)
+        if self.cfg.restir and not (self.cfg.nee and self.cfg.nee_lights
+                                    and not self.cfg.nee_env):
+            import sys
+            print("restir: disabled (needs the area-light NEE mode — "
+                  "emissive area lights present, no env-map NEE)",
+                  file=sys.stderr)
+            self.cfg = dataclasses.replace(self.cfg, restir=False)
+        self.restir = self.cfg.restir
         self.adaptive = self.cfg.adaptive
         self.base_key = jax.random.key(self.settings.seed, impl=self.settings.rng)
         # Scene baking (after _wire_nee so env alias tables are included):
@@ -984,6 +1080,12 @@ class Renderer:
         self._baked_chunk = None
         if self.adaptive:
             self._adaptive_chunk = self._build_adaptive_chunk()
+        elif self.restir:
+            # ReSTIR always runs the baked chunk form (the reservoir is
+            # loop-carried through the on-device iteration scan; per-step
+            # host dispatch would pay the transport tax AND round-trip
+            # 11 [N] reservoir planes every spp).
+            self._restir_chunk = self._build_restir_chunk()
         elif getattr(self.settings, "bake_scene", True):
             self._baked_chunk = self._build_baked_chunk()
         self.reset()
@@ -1009,6 +1111,45 @@ class Renderer:
 
         def run(accum, chunk):
             return baked(accum, s.camera.flat(),
+                         jnp.zeros((0,)) if tex_c is not None
+                         else s.textures,
+                         self.base_key,
+                         jnp.asarray(self.iteration, jnp.int32), chunk)
+        return run
+
+    def _build_restir_chunk(self):
+        """ReSTIR analogue of _build_baked_chunk: scene tables baked as
+        constants; (accum, reservoir) are the traced loop-carried state —
+        iteration i's depth-0 direct lighting merges iteration i-1's
+        per-pixel reservoir (trace_wavefront reservoir=; the temporal
+        half of Bitterli et al. 2020)."""
+        s = self.scene
+        geoms_c, mats_c, tex_c = bake_tables(s)
+        cfg = self.cfg
+        meshes, pm = s.meshes, s.packed_meshes
+        w, h = s.camera.resolution
+
+        @partial(jax.jit, static_argnames=("chunk",),
+                 donate_argnames=("accum", "res"))
+        def baked(accum, res, cam, textures, base_key, start_iter, chunk):
+            def one(carry, i):
+                acc, r = carry
+                key = jax.random.fold_in(base_key, start_iter + i)
+                rad, new_r = trace_wavefront(
+                    mats_c, cam, geoms_c, meshes,
+                    tex_c if tex_c is not None else textures, key, cfg,
+                    packed_meshes=pm, iteration=start_iter + i,
+                    reservoir=r)
+                img = jnp.stack([rad.x.reshape(h, w),
+                                 rad.y.reshape(h, w),
+                                 rad.z.reshape(h, w)], axis=-1)
+                return (acc + img, new_r), None
+            (acc, r), _ = jax.lax.scan(
+                one, (accum, res), jnp.arange(chunk, dtype=jnp.int32))
+            return acc, r
+
+        def run(accum, res, chunk):
+            return baked(accum, res, s.camera.flat(),
                          jnp.zeros((0,)) if tex_c is not None
                          else s.textures,
                          self.base_key,
@@ -1052,6 +1193,8 @@ class Renderer:
         self.accum = jnp.zeros((h, w, 3), jnp.float32)
         self.iteration = 0
         self._first_hit = None
+        if getattr(self, "restir", False):
+            self.reservoir = init_reservoir(w * h)
         if getattr(self, "adaptive", False):
             from . import adaptive as A
             self.accum2 = jnp.zeros((h, w), jnp.float32)
@@ -1079,7 +1222,7 @@ class Renderer:
 
     def step(self) -> None:
         """One progressive iteration (one spp)."""
-        if self.adaptive:
+        if self.adaptive or self.restir:
             self.step_many(1)
             return
         s = self.scene
@@ -1120,6 +1263,14 @@ class Renderer:
         if self.adaptive:
             self._step_many_adaptive(n)
             return
+        if self.restir:
+            while n > 0:
+                k = min(n, self.CHUNK)
+                self.accum, self.reservoir = self._restir_chunk(
+                    self.accum, self.reservoir, k)
+                self.iteration += k
+                n -= k
+            return
         chunkable = not (self.settings.first_bounce_cache
                          and self._cached_first_hit() is not None)
         if not chunkable:
@@ -1146,8 +1297,12 @@ class Renderer:
     def checkpoint_extras(self) -> dict:
         """Renderer-mode state beyond (accum, iteration) for
         render/checkpoint.py — adaptive runs persist the variance sums,
-        per-pixel counts, the CURRENT epoch plan, and the replan schedule
-        so a resumed render is stream-identical to an uninterrupted one."""
+        per-pixel counts, the CURRENT epoch plan, and the replan schedule;
+        restir runs persist the per-pixel temporal reservoir — so a
+        resumed render is stream-identical to an uninterrupted one."""
+        if getattr(self, "restir", False):
+            return {"res_" + k: np.asarray(v)
+                    for k, v in self.reservoir.items()}
         if not self.adaptive:
             return {}
         pix, surr, cimg = self._plan
@@ -1157,6 +1312,14 @@ class Renderer:
                     next_replan=np.int64(self._next_replan))
 
     def restore_extras(self, extras: dict) -> None:
+        if getattr(self, "restir", False):
+            missing = [k for k in self.reservoir if "res_" + k not in extras]
+            if missing:
+                raise ValueError("checkpoint has no restir reservoir state; "
+                                 "resume without --restir or re-render")
+            self.reservoir = {k: jnp.asarray(extras["res_" + k], jnp.float32)
+                              for k in self.reservoir}
+            return
         if not self.adaptive:
             return
         if "accum2" not in extras:

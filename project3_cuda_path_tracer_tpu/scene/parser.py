@@ -432,6 +432,19 @@ def _load_textures(mats: List[dict], envmap_path: Optional[str],
         m = np.stack([(p & 0xFF), (p >> 8) & 0xFF, (p >> 16) & 0xFF], -1)
         return (m.astype(np.float32) + 0.5) * s[..., None]
 
+    def _pair565():
+        # RGB565 horizontal-pair plane for --bilinear-fast (scene/types.py
+        # atlas_pair): right neighbor clamped INSIDE each strip image so a
+        # rect's right-edge pair never bleeds into the next image's texels.
+        if not imgs:
+            return None
+        from ..utils.image import pack_565_pair
+        pair = np.zeros(atlas.shape[:2], np.uint32)
+        for _, (x0, y0, w, h) in offsets.items():
+            pair[y0:y0 + h, x0:x0 + w] = pack_565_pair(
+                atlas[y0:y0 + h, x0:x0 + w])
+        return jnp.asarray(pair.reshape(-1))
+
     return T.Textures(
         atlas=jnp.asarray(atlas), rect=jnp.asarray(rect),
         tex_id=jnp.asarray(tex_id), env=jnp.asarray(env),
@@ -441,6 +454,7 @@ def _load_textures(mats: List[dict], envmap_path: Optional[str],
         sky=jnp.asarray(sky),
         atlas_packed=_packed_or_none(atlas, pack_rgb8, _unpack_rgb8),
         env_packed=_packed_or_none(env, pack_rgbe, _unpack_rgbe),
+        atlas_pair=_pair565(),
         bump=jnp.asarray(bump), nrm_rect=jnp.asarray(nrm_rect),
         nrm_id=jnp.asarray(nrm_id),
     )

@@ -178,6 +178,22 @@ def pack_rgb8(img: np.ndarray) -> np.ndarray:
     return (b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16)).reshape(-1)
 
 
+def pack_565_pair(img: np.ndarray) -> np.ndarray:
+    """[H,W,3] float in [0,1] -> [H,W] uint32 RGB565 horizontal pairs:
+    entry (y,x) = rgb565(y,x) | rgb565(y,min(x+1,W-1))<<16 — one gather
+    yields a whole bilinear row (ops/wavefront._unpack_565pair; the
+    --bilinear-fast 2-gather path). The right neighbor clamps at THIS
+    image's edge; the parser calls this per atlas rect so pairs never
+    bleed across strip entries."""
+    im = np.clip(img.astype(np.float64), 0.0, 1.0)
+    r = np.round(im[..., 0] * 31.0).astype(np.uint32)
+    g = np.round(im[..., 1] * 63.0).astype(np.uint32)
+    b = np.round(im[..., 2] * 31.0).astype(np.uint32)
+    t = r | (g << 5) | (b << 11)
+    nb = t[:, np.minimum(np.arange(t.shape[1]) + 1, t.shape[1] - 1)]
+    return t | (nb << 16)
+
+
 def pack_rgbe(img: np.ndarray) -> np.ndarray:
     """[H,W,3] float32 radiance -> flat [H*W] uint32 Radiance RGBE
     (R | G<<8 | B<<16 | E<<24), the .hdr wire format itself.

@@ -14,6 +14,26 @@ import time
 from typing import Callable, Dict, Iterable
 
 import jax
+import numpy as np
+
+
+def sync(out) -> None:
+    """Synchronize on a computation's completion via a HOST TRANSFER.
+
+    Over the remote-attach (axon) transport, ``jax.block_until_ready`` has
+    been observed to return before execution completes (sub-ms "timings"
+    for a >25 ms program — see BENCHMARKS.md "Process notes" and
+    bench.py). A value transfer cannot lie: we pull the first array leaf
+    to the host. The full leaf is transferred (not a device-side slice —
+    that would launch an extra program and pay the ~25 ms dispatch tax);
+    transfer time is included in timings, which is consistent across A/B
+    variants with identical output shapes.
+    """
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "shape"):
+            np.asarray(leaf)
+            return
+    # No array leaves: nothing device-side to wait for.
 
 
 @contextlib.contextmanager
@@ -33,14 +53,19 @@ def named(name: str):
 
 def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 1,
             **kwargs) -> float:
-    """Wall-clock one jitted callable (seconds/call, synchronized)."""
+    """Wall-clock one jitted callable (seconds/call, synchronized).
+
+    Synchronization is via host transfer (``sync``), not
+    ``block_until_ready`` — the latter returns early over the axon
+    transport and would report phantom sub-transport-floor timings.
+    """
     for _ in range(warmup):
         out = fn(*args, **kwargs)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out))
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args, **kwargs)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out))
+        sync(out)
     return (time.perf_counter() - t0) / iters
 
 

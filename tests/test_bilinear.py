@@ -91,3 +91,76 @@ def test_bilinear_render_smoke():
     assert np.isfinite(b).all()
     assert abs(float(a.mean()) - float(b.mean())) < 0.03
     assert not np.array_equal(a, b)   # it actually filtered
+
+
+def _with_pair(tx, atlas8):
+    import dataclasses
+    atlas = atlas8.astype(np.float32) / 255.0
+    return dataclasses.replace(
+        tx, atlas_pair=jnp.asarray(img_io.pack_565_pair(atlas).reshape(-1)))
+
+
+def _fetch_fast(tx, u, v):
+    mid = jnp.zeros(u.shape, jnp.int32)
+    a00, _, a01, _, fu, fv, textured = wf._atlas_bilinear_indices(
+        tx, mid, jnp.asarray(u), jnp.asarray(v))
+    c00, c10 = wf._unpack_565pair(jnp.take(tx.atlas_pair, a00))
+    c01, c11 = wf._unpack_565pair(jnp.take(tx.atlas_pair, a01))
+    out = wf._bilerp(c00, c10, c01, c11, fu, fv)
+    return np.asarray(out.x)
+
+
+def test_bilinear_fast_matches_exact_within_565(  ):
+    """The 2-gather RGB565 pair path must agree with the exact 4-gather
+    bilinear fetch to within the 565 quantization step everywhere,
+    including the rect edges (left-edge fu clamp, right-edge pair
+    clamp)."""
+    rng = np.random.default_rng(3)
+    atlas8 = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    tx = _with_pair(_textures(atlas8), atlas8)
+    u = np.concatenate([rng.uniform(0, 1, 256),
+                        [0.0, 1e-4, 0.999, 1.0 - 1e-7]]).astype(np.float32)
+    v = np.concatenate([rng.uniform(0, 1, 256),
+                        [0.0, 0.5, 1e-4, 0.999]]).astype(np.float32)
+    exact = _fetch_bilinear(tx, u, v)
+    fast = _fetch_fast(tx, u, v)
+    # R channel quantizes at 1/31; lerp cannot amplify the per-corner error
+    assert np.max(np.abs(exact - fast)) <= 1.0 / 31.0 + 1e-6
+
+
+def test_bilinear_fast_interpolates_gradient():
+    """Same midpoint check as the exact path: fast bilinear still lands
+    between texels (it really filters, not a nearest fallback)."""
+    w = 8
+    atlas8 = np.zeros((4, w, 3), np.uint8)
+    atlas8[:, :, 0] = (np.arange(w) * 255 // (w - 1))[None, :]
+    tx = _with_pair(_textures(atlas8), atlas8)
+    u = np.array([(2.5 + 0.5) / w], np.float32)
+    v = np.array([0.5], np.float32)
+    got = _fetch_fast(tx, u, v)[0]
+    want = 0.5 * (atlas8[0, 2, 0] + atlas8[0, 3, 0]) / 255.0
+    assert got == pytest.approx(want, abs=1.0 / 31.0)
+
+
+def test_bilinear_fast_render_matches_exact():
+    """textured_env end-to-end: --bilinear-fast must track the exact
+    --bilinear render to texel-quantization tolerance (fused path: RGB565
+    atlas + NEAREST env on miss lanes — env-lit pixels may differ more,
+    bounded by the env's own bilinear-vs-nearest delta)."""
+    s = load_scene("scenes/textured_env.txt")
+    s.camera.resolution = (32, 32)
+    s.camera.derive()
+    s.settings.trace_depth = 3
+    assert s.textures.atlas_pair.shape[0] > 1   # parser built the plane
+
+    def render(**kw):
+        st = T.RenderSettings(**{**s.settings.__dict__, **kw})
+        r = I.Renderer(s, settings=st)
+        r.render(4)
+        return r.image()
+
+    exact = render(bilinear=True)
+    fast = render(bilinear=True, bilinear_fast=True)
+    assert np.isfinite(fast).all()
+    assert abs(float(exact.mean()) - float(fast.mean())) < 0.02
+    assert not np.array_equal(exact, fast)

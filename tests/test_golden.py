@@ -43,6 +43,7 @@ def _render_cornell(res, spp, seed=None):
 
 @pytest.mark.skipif(not os.path.exists(GOLDEN_PNG),
                     reason="reference golden image not present")
+@pytest.mark.slow
 def test_reference_golden_image():
     golden = read_png(GOLDEN_PNG).astype(np.float64)
     g = golden.reshape(200, 4, 200, 4, 3).mean(axis=(1, 3))

@@ -118,6 +118,7 @@ def test_mse_loss_grad_finite_everywhere(setup):
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+@pytest.mark.slow
 def test_inverse_rendering_recovers_albedo():
     """End-to-end inverse test: perturb the back-wall albedo, fit it back."""
     import dataclasses
@@ -242,7 +243,7 @@ def test_train_scan_matches_sequential_steps():
         seq_losses.append(float(loss))
 
     opt2, run = make_train_scan(s.geoms, s.meshes, s.textures, cfg,
-                                num_steps=N)
+                                num_steps=N, history=False)
     p2 = fresh()
     st2 = opt2.init(p2)
     p2, st2, losses = run(p2, st2, key, target)
@@ -250,3 +251,134 @@ def test_train_scan_matches_sequential_steps():
     np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(p2.materials.color),
                                np.asarray(p.materials.color), atol=1e-6)
+
+
+def test_history_loss_grad_equals_unbiased_when_residual_is_fresh():
+    """With the residual supplied as an independent same-params render,
+    history_residual_grad_loss's gradient must equal
+    unbiased_mse_grad_loss's gradient exactly (identical computation
+    graph — the history form just hoists the detached factor out)."""
+    from project3_cuda_path_tracer_tpu.models.inverse import (
+        unbiased_mse_grad_loss, history_residual_grad_loss, render_image)
+    s = load_scene("/root/reference/scenes/cornell.txt")
+    s.camera.resolution = (16, 16)
+    s.camera.derive()
+    gt = tuple(int(x) for x in np.asarray(s.geoms.type))
+    cfg = integ.TraceConfig(width=16, height=16, trace_depth=3,
+                            antialias=False, geom_types=gt)
+    params = RenderParams(materials=s.materials, cam=s.camera.flat())
+    target = jnp.full((16, 16, 3), 0.25, jnp.float32)
+    key = jax.random.PRNGKey(12)
+    k_primal, k_diff = jax.random.split(key)
+
+    g_two = jax.grad(unbiased_mse_grad_loss)(
+        params, s.geoms, s.meshes, s.textures, key, cfg, target)
+
+    residual = render_image(params, s.geoms, s.meshes, s.textures,
+                            k_primal, cfg)
+    g_hist = jax.grad(
+        lambda p: history_residual_grad_loss(
+            p, s.geoms, s.meshes, s.textures, k_diff, cfg, target,
+            residual)[0])(params)
+
+    for a, b in zip(jax.tree_util.tree_leaves(g_two),
+                    jax.tree_util.tree_leaves(g_hist)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_history_scan_matches_sequential_history_steps():
+    """make_train_scan(history=True) must produce the same losses, params
+    and history EMA as the equivalent make_train_step(history=True)
+    sequence (same fold_in schedule, same seed render)."""
+    from project3_cuda_path_tracer_tpu.models.inverse import (
+        RenderParams, make_train_step, make_train_scan, make_seed_history)
+    s = load_scene("/root/reference/scenes/cornell.txt")
+    s.camera.resolution = (16, 16)
+    s.camera.derive()
+    gt = tuple(int(x) for x in np.asarray(s.geoms.type))
+    cfg = integ.TraceConfig(width=16, height=16, trace_depth=3,
+                            antialias=False, geom_types=gt)
+    target = jnp.zeros((16, 16, 3), jnp.float32)
+    key = jax.random.PRNGKey(4)
+    N = 3
+
+    def fresh():
+        return jax.tree_util.tree_map(
+            jnp.array, RenderParams(materials=s.materials,
+                                    cam=s.camera.flat()))
+
+    seed_hist = make_seed_history(s.geoms, s.meshes, s.textures, cfg)
+
+    opt, step = make_train_step(s.geoms, s.meshes, s.textures, cfg,
+                                history=True)
+    p = fresh()
+    st = opt.init(p)
+    h = seed_hist(p, jax.random.fold_in(key, 999))
+    seq_losses = []
+    for i in range(N):
+        p, st, h, loss = step(p, st, h, jax.random.fold_in(key, i), target)
+        seq_losses.append(float(loss))
+
+    opt2, run = make_train_scan(s.geoms, s.meshes, s.textures, cfg,
+                                num_steps=N, history=True)
+    p2 = fresh()
+    st2 = opt2.init(p2)
+    h2 = seed_hist(p2, jax.random.fold_in(key, 999))
+    p2, st2, h2, losses = run(p2, st2, h2, key, target)
+
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p2.materials.color),
+                               np.asarray(p.materials.color), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_history_scan_recovers_albedo():
+    """End-to-end fit quality with the one-render history-residual step
+    (the round-4 bench form): perturb the white-wall albedo, fit it back
+    with make_train_scan(history=True)."""
+    import dataclasses
+    import optax
+    from project3_cuda_path_tracer_tpu.models.inverse import (
+        make_train_scan, make_seed_history)
+    s = load_scene("/root/reference/scenes/cornell.txt")
+    s.camera.resolution = (16, 16)
+    s.camera.derive()
+    gt = tuple(int(x) for x in np.asarray(s.geoms.type))
+    cfg = integ.TraceConfig(width=16, height=16, trace_depth=2,
+                            antialias=False, geom_types=gt)
+
+    true_params = RenderParams(materials=s.materials, cam=s.camera.flat())
+    keys = [jax.random.PRNGKey(i) for i in range(4)]
+    render = jax.jit(lambda p, k: render_image(
+        p, s.geoms, s.meshes, s.textures, k, cfg))
+    target = jnp.mean(jnp.stack([render(true_params, k) for k in keys]), 0)
+
+    bad_mats = dataclasses.replace(
+        s.materials, color=s.materials.color.at[1].set(jnp.array([0.5] * 3)))
+    params = jax.tree_util.tree_map(
+        jnp.array, RenderParams(materials=bad_mats, cam=true_params.cam))
+
+    # optimize only the albedo table (masked adam, mirroring the frozen
+    # grads in test_inverse_rendering_recovers_albedo) — N scanned steps
+    # in ONE program
+    N = 250
+    mask = RenderParams(
+        materials=dataclasses.replace(
+            jax.tree_util.tree_map(lambda _: False, params.materials),
+            color=True),
+        cam=jax.tree_util.tree_map(lambda _: False, params.cam))
+    opt, run = make_train_scan(s.geoms, s.meshes, s.textures, cfg,
+                               num_steps=N,
+                               optimizer=optax.masked(optax.adam(5e-2),
+                                                      mask),
+                               history=True)
+    seed_hist = make_seed_history(s.geoms, s.meshes, s.textures, cfg)
+    key = jax.random.PRNGKey(7)
+    hist = seed_hist(params, jax.random.fold_in(key, 999))
+    opt_state = opt.init(params)
+    params, opt_state, hist, losses = run(params, opt_state, hist, key,
+                                          target)
+    recovered = np.asarray(params.materials.color[1])
+    np.testing.assert_allclose(recovered, 0.98, atol=0.2)

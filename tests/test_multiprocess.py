@@ -30,6 +30,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_render_matches_single(tmp_path):
     port = _free_port()
     env = dict(os.environ)

@@ -100,3 +100,97 @@ SCALE 8 .1 8
     # glossy floor keeps energy: means agree within MC noise
     assert abs(float(plain.mean()) - float(ris.mean())) \
         < 0.1 * max(float(plain.mean()), 1e-6) + 0.01
+
+
+@pytest.fixture(scope="module")
+def mixed_scene(tmp_path_factory):
+    """Area light AND an HDR env map — the case where --nee-ris now draws
+    its M candidates from the same area/env one-sample mixture the plain
+    mixed branch uses (round-4; previously RIS was silently area-only and
+    the mixed branch won the dispatch)."""
+    import numpy as np
+    from project3_cuda_path_tracer_tpu.utils import image as img_io
+    d = tmp_path_factory.mktemp("mixed_ris")
+    env = np.full((16, 32, 3), 0.05, np.float32)
+    env[3:6, 8:12] = [20.0, 15.0, 5.0]
+    img_io.write_hdr(str(d / "env.hdr"), env)
+    (d / "s.txt").write_text(f"""ENVMAP {d}/env.hdr
+
+MATERIAL 0
+RGB .7 .7 .7
+
+MATERIAL 1
+RGB 1 0.9 0.8
+EMITTANCE 12
+
+CAMERA
+RES 48 48
+FOVY 45
+ITERATIONS 8
+DEPTH 4
+FILE m
+EYE 0 1.5 6
+LOOKAT 0 1 0
+UP 0 1 0
+
+OBJECT 0
+sphere
+material 0
+TRANS 0 1 0
+ROTAT 0 0 0
+SCALE 2 2 2
+
+OBJECT 1
+cube
+material 0
+TRANS 0 -1.05 0
+ROTAT 0 0 0
+SCALE 16 .1 16
+
+OBJECT 2
+cube
+material 1
+TRANS 2.5 3.5 1
+ROTAT 0 0 30
+SCALE 1 .1 1
+""")
+    return load_scene(str(d / "s.txt"))
+
+
+def test_mixed_ris_wiring(mixed_scene):
+    """nee_ris >= 2 on an area+env scene must keep BOTH strategies armed
+    (mixed mode) and take the RIS branch (the dispatch no longer ignores
+    the flag when the scene is mixed)."""
+    st = T.RenderSettings(**{**mixed_scene.settings.__dict__,
+                             "nee": True, "nee_ris": 4})
+    r = I.Renderer(mixed_scene, settings=st)
+    assert r.cfg.nee_ris == 4 and r.cfg.nee
+    assert r.cfg.nee_lights and r.cfg.nee_env and 0.1 <= r.cfg.nee_q <= 0.9
+
+
+@pytest.mark.slow
+def test_mixed_ris_matches_mixed_nee_in_expectation(mixed_scene):
+    """Mixed-candidate RIS re-weights which mixture sample gets the
+    shadow ray; the estimator mean must match the plain one-sample
+    mixture (independent seeds). Measured at commit time: absdiff 7e-4 at
+    192 spp; low-spp RMSE 1.21-1.25x better (BENCHMARKS.md round 4)."""
+    plain = render(mixed_scene, 96, nee=True, seed=3)
+    ris = render(mixed_scene, 96, nee=True, nee_ris=4, seed=9)
+    assert abs(float(plain.mean()) - float(ris.mean())) < 0.02
+    assert float(np.abs(plain - ris).mean()) < 0.08
+
+
+@pytest.mark.slow
+def test_mixed_ris_cuts_variance(mixed_scene):
+    """At equal spp the M=4 mixture-candidate RIS must beat the plain
+    one-sample mixture on the area+env scene."""
+    gt = render(mixed_scene, 384, nee=True, seed=1)
+
+    def rmse(img):
+        return float(np.sqrt(((img - gt) ** 2).mean()))
+
+    e_plain = np.mean([rmse(render(mixed_scene, 8, nee=True, seed=s))
+                       for s in (5, 7)])
+    e_ris = np.mean([rmse(render(mixed_scene, 8, nee=True, nee_ris=4,
+                                 seed=s)) for s in (5, 7)])
+    assert e_ris < e_plain, (e_ris, e_plain)

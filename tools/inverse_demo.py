@@ -26,6 +26,12 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--depth", type=int, default=3)
     ap.add_argument("--outdir", default="renders")
+    ap.add_argument("--history", action="store_true",
+                    help="use the one-render history-residual loss "
+                         "(models/inverse.history_residual_grad_loss) "
+                         "instead of the two-render unbiased loss — the "
+                         "round-4 train-step form; fits must match "
+                         "(BENCHMARKS.md A/B)")
     args = ap.parse_args()
 
     import numpy as np
@@ -62,24 +68,45 @@ def main() -> int:
     opt = optax.adam(5e-2)
     opt_state = opt.init(params)
 
+    def _mask_grads(params, grads):
+        return RenderParams(
+            materials=dataclasses.replace(
+                jax.tree_util.tree_map(jnp.zeros_like, params.materials),
+                color=grads.materials.color),
+            cam=jax.tree_util.tree_map(jnp.zeros_like, params.cam))
+
     @jax.jit
     def step(params, opt_state, key):
         loss_fn = lambda p: unbiased_mse_grad_loss(
             p, s.geoms, s.meshes, s.textures, key, cfg, target)
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        grads = RenderParams(
-            materials=dataclasses.replace(
-                jax.tree_util.tree_map(jnp.zeros_like, params.materials),
-                color=grads.materials.color),
-            cam=jax.tree_util.tree_map(jnp.zeros_like, params.cam))
+        grads = _mask_grads(params, grads)
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    from project3_cuda_path_tracer_tpu.models.inverse import (
+        history_residual_grad_loss)
+
+    @jax.jit
+    def hstep(params, opt_state, hist, key):
+        loss_fn = lambda p: history_residual_grad_loss(
+            p, s.geoms, s.meshes, s.textures, key, cfg, target, hist)
+        (loss, img), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        grads = _mask_grads(params, grads)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state,
+                jax.lax.stop_gradient(img), loss)
+
     key = jax.random.PRNGKey(11)
+    hist = render(params, jax.random.PRNGKey(777)) if args.history else None
     tail = []
     for i in range(args.steps):
         key, k = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, k)
+        if args.history:
+            params, opt_state, hist, loss = hstep(params, opt_state, hist, k)
+        else:
+            params, opt_state, loss = step(params, opt_state, k)
         if i >= args.steps * 3 // 5:
             tail.append(np.asarray(params.materials.color[1]))
         if i % 50 == 0 or i == args.steps - 1:
