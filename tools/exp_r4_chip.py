@@ -38,17 +38,27 @@ def main():
         st = T.RenderSettings(**{**scene.settings.__dict__, **kw})
         return I.Renderer(scene, settings=st)
 
+    import jax.numpy as jnp
+
+    def sync(x):
+        # Honest execution sync with a SMALL transfer: block_until_ready
+        # can return early over the axon transport (bench.py note), and
+        # pulling the full 2048^2 accum costs ~0.5 s of tunnel time that
+        # would masquerade as kernel time. A scalar reduction pays one
+        # extra ~25 ms dispatch per EPOCH instead.
+        np.asarray(jnp.sum(x))
+
     def ms_per_iter(scene, chunk=16, **kw):
         """Scanned-chunk wall time (dispatch-tax immune): time 2 chunks,
         report the best."""
         r = make(scene, **kw)
         r.step_many(chunk)
-        np.asarray(r.accum)      # compile + warm
+        sync(r.accum)            # compile + warm
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             r.step_many(chunk)
-            np.asarray(r.accum)
+            sync(r.accum)
             best = min(best, time.perf_counter() - t0)
         return best * 1e3 / chunk, r
 

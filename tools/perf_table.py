@@ -45,18 +45,30 @@ def main() -> int:
             print(json.dumps({"config": name, "skipped": "missing scene"}),
                   flush=True)
             continue
+        import numpy as np
+        import jax.numpy as jnp
+
+        def sync(x):
+            # Value-transfer sync (round-4 fix): block_until_ready can
+            # return early over the axon transport; a SCALAR reduction
+            # transfer cannot lie and does not add the ~0.5 s full-image
+            # tunnel transfer a np.asarray(accum) would. The round-3
+            # table used block_until_ready — re-measure before comparing
+            # (cornell moved 8.54 -> 7.81 ms, manylights 24.9 -> 12.6).
+            np.asarray(jnp.sum(x))
+
         scene = load_scene(path)
         w, h = scene.camera.resolution
         depth = scene.settings.trace_depth
         r = Renderer(scene)
         r.CHUNK = chunk
         r.step_many(chunk)          # compile + warm
-        r.accum.block_until_ready()
+        sync(r.accum)
         dt = float("inf")
         for _ in range(args.reps):
             t0 = time.perf_counter()
             r.step_many(chunk)
-            r.accum.block_until_ready()
+            sync(r.accum)
             dt = min(dt, (time.perf_counter() - t0) / chunk)
         print(json.dumps({
             "config": name, "ms_per_iter": round(dt * 1000, 2),
