@@ -67,9 +67,18 @@ def main() -> int:
     assert scene.camera.resolution == (WIDTH, HEIGHT)
 
     gt = tuple(int(t) for t in np.asarray(scene.geoms.type))
+    # unroll=True + remat=False: the round-4 measured-best TRAIN trace
+    # schedule at this scale (9.5 vs 17.1 ms/step) — unrolling the bounce
+    # loop lets XLA keep residuals as plain live values (no scan
+    # dynamic-update-slice stacking, no remat barriers, no backward
+    # recompute) and all 8 bounces' residual planes fit HBM at 800^2.
+    # Gradients are bitwise-path-identical to the scan+save-"hits" form
+    # (checked at 16^2); keep scan+remat for memory-constrained/bigger
+    # resolutions (BENCHMARKS.md round-4 remat/unroll A/B).
     cfg = TraceConfig(width=WIDTH, height=HEIGHT, trace_depth=DEPTH,
                       antialias=True, geom_types=gt,
-                      glossy=False, sky=False)
+                      glossy=False, sky=False,
+                      unroll=True, remat=False)
     # Production training-loop form: TIMED_STEPS optimizer steps scanned
     # inside one device program (models/inverse.make_train_scan) — the
     # per-step host dispatch a real training run would also avoid. Round 4:
