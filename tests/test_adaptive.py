@@ -113,6 +113,7 @@ def test_adaptive_rejects_sort_compact(cornell_small):
         r.render(1)
 
 
+@pytest.mark.slow
 def test_adaptive_checkpoint_resume(cornell_small):
     """checkpoint_extras/restore_extras reproduce an uninterrupted run:
     counts exactly, radiance to float re-association tolerance (the
@@ -163,6 +164,7 @@ def test_sharded_adaptive_warmup_matches_single(cornell_small):
     assert (sharded.count == 4.0).all()
 
 
+@pytest.mark.slow
 def test_sharded_adaptive_checkpoint_resume(cornell_small):
     """ShardedRenderer.checkpoint_extras/restore_extras reproduce an
     uninterrupted sharded adaptive run across a mid-epoch split (the

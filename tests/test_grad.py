@@ -174,6 +174,7 @@ def test_inverse_rendering_recovers_albedo():
     np.testing.assert_allclose(recovered, 0.98, atol=0.2)
 
 
+@pytest.mark.slow
 def test_grad_through_mesh_scene():
     """Mesh scenes: the winning triangle is a detached decision but hit
     attributes are recomputed differentiably (differentiable_mesh), so
@@ -213,6 +214,7 @@ def test_grad_through_mesh_scene():
     assert analytic == pytest.approx(fd, rel=0.08, abs=1e-5)
 
 
+@pytest.mark.slow
 def test_train_scan_matches_sequential_steps():
     """make_train_scan (the one-dispatch production loop) must produce the
     same losses and parameters as the equivalent make_train_step sequence
@@ -253,6 +255,7 @@ def test_train_scan_matches_sequential_steps():
                                np.asarray(p.materials.color), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_history_loss_grad_equals_unbiased_when_residual_is_fresh():
     """With the residual supplied as an independent same-params render,
     history_residual_grad_loss's gradient must equal
@@ -382,3 +385,22 @@ def test_history_scan_recovers_albedo():
                                           target)
     recovered = np.asarray(params.materials.color[1])
     np.testing.assert_allclose(recovered, 0.98, atol=0.2)
+
+
+def test_inverse_renderer_history_mode():
+    """InverseRenderer(history=True) — the class-level wrapper around the
+    one-render step — must run, maintain its residual image, and report
+    finite losses; history=False keeps the two-render path."""
+    s = load_scene("/root/reference/scenes/cornell.txt")
+    s.camera.resolution = (16, 16)
+    s.camera.derive()
+    target = np.zeros((16, 16, 3), np.float32)
+    from project3_cuda_path_tracer_tpu.models.inverse import InverseRenderer
+    for hist in (True, False):
+        ir = InverseRenderer(s, target, trace_depth=2, seed=3, history=hist)
+        losses = ir.fit(3)
+        assert len(losses) == 3 and all(np.isfinite(l) for l in losses)
+        if hist:
+            assert ir.hist is not None and ir.hist.shape == (16, 16, 3)
+        else:
+            assert ir.hist is None

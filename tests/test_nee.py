@@ -50,6 +50,7 @@ def test_light_table_cornell(cornell):
     assert all(len(f) == nee.FACE_LEN for f in faces)
 
 
+@pytest.mark.slow
 def test_nee_unbiased_and_lower_variance(cornell):
     """NEE+MIS must converge to the SAME image as plain BSDF sampling
     (unbiased) while cutting low-spp RMSE (the point of the feature)."""
@@ -417,6 +418,7 @@ def test_mixed_nee_stratified_runs(mixed_scene):
     assert abs(aS.mean() - aP.mean()) < 0.03, (aS.mean(), aP.mean())
 
 
+@pytest.mark.slow
 def test_glossy_nee_unbiased():
     """The glossy Phong lobe participates in NEE MIS (per-component
     balance): on the glossy cornell variant the NEE render must converge
@@ -474,6 +476,7 @@ def test_any_hit_traversal_matches_nearest_occlusion():
     assert np.all(np.asarray(t_a)[occ_any] > 0)
 
 
+@pytest.mark.slow
 def test_mesh_scene_env_nee(env_scene, tmp_path):
     """Env NEE on a scene containing a MESH exercises the any-hit packet
     shadow pass end-to-end; the estimator must still match plain."""
@@ -536,6 +539,7 @@ SCALE 1.5 1.5 1.5
     assert aN.mean() > 0.01
 
 
+@pytest.mark.slow
 def test_stratified_nee_unbiased_and_lower_variance(cornell):
     """--stratified replaces the NEE light-sample draws (and the camera
     AA/lens/time draws) with per-pixel CP-rotated R_d lattices: the
@@ -561,6 +565,7 @@ def test_stratified_nee_unbiased_and_lower_variance(cornell):
     assert rmse_s < 0.97 * rmse_p, (rmse_s, rmse_p)
 
 
+@pytest.mark.slow
 def test_sobol_sampler_estimator(cornell):
     """strat_impl='sobol' (Owen-scrambled (0,2) pairs, ops/qmc.py) is a
     drop-in: deterministic, converges to the same image, and at low spp
@@ -622,6 +627,7 @@ def test_renderer_wiring(cornell):
                           jax.random.PRNGKey(0), bad)
 
 
+@pytest.mark.slow
 def test_train_step_with_nee(cornell):
     """The inverse-rendering train step composes with NEE (lower-variance
     gradient estimation): one optimizer step runs, loss finite, params

@@ -56,11 +56,12 @@ def test_restir_cfg_and_reservoir_shapes(manylights_small):
     assert float(np.asarray(r.reservoir["M"]).max()) == 0.0
 
 
+@pytest.mark.slow
 def test_reservoir_m_growth_and_cap(manylights_small):
     """M grows by the per-frame candidate count each merge and clamps at
     restir_cap * M. Slots legitimately RESTART mid-stream (AA-jittered
-    silhouette pixels flip hit/miss; visibility reuse restarts occluded
-    winners), so the invariants are: every M is a multiple of the
+    silhouette pixels flip hit/miss between frames), so the invariants
+    are: every M is a multiple of the
     per-frame count, some pixel reaches the unbroken-streak value, and
     the cap is never exceeded."""
     r = make(manylights_small, restir=4, restir_cap=5.0, seed=2,
@@ -78,6 +79,7 @@ def test_reservoir_m_growth_and_cap(manylights_small):
     assert float(m.min()) == 0.0
 
 
+@pytest.mark.slow
 def test_reservoir_m_growth_under_aa(manylights_small):
     """Same invariants hold under the default stochastic AA."""
     r = make(manylights_small, restir=4, restir_cap=5.0, seed=2)
@@ -122,7 +124,7 @@ def test_restir_accumulation_regression_bound(manylights_small):
     progressive ACCUMULATION the temporal reservoir's reused winner
     correlates consecutive frames, so at equal spp it does NOT beat
     fresh RIS — measured 0.94-1.00x of fresh-RIS quality across the spp
-    sweep (1..16), with visibility reuse on. The contract tested here is
+    sweep (1..16). The contract tested here is
     the regression BOUND: restir accumulation RMSE stays within 12% of
     fresh RIS at 16 spp (it is a real-time/preview feature, and its
     progressive mode must never fall off a cliff)."""
@@ -138,6 +140,7 @@ def test_restir_accumulation_regression_bound(manylights_small):
     assert e_restir < 1.12 * e_ris, (e_restir, e_ris)
 
 
+@pytest.mark.slow
 def test_restir_checkpoint_resume_stream_identical(manylights_small):
     """16 iterations straight == 8 + checkpoint-extras round-trip + 8:
     the reservoir is loop-carried state and must be persisted."""

@@ -41,6 +41,7 @@ def test_ris_matches_nee_in_expectation(lights_small):
     assert float(np.abs(plain - ris).mean()) < 0.06
 
 
+@pytest.mark.slow
 def test_ris_cuts_direct_light_variance(lights_small):
     """On the two-light scene RIS at M=8 must reduce RMSE vs plain NEE
     at equal spp (both against a high-spp ground truth)."""

@@ -79,6 +79,7 @@ def test_submesh(cornell_32):
     assert img.max() > 0
 
 
+@pytest.mark.slow
 def test_sharded_mesh_scene_matches_single():
     """Mesh scenes (Pallas packet traversal inside a GSPMD-sharded jit,
     tile-swizzled paths) must produce the identical image sharded vs not."""
