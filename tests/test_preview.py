@@ -86,3 +86,33 @@ def test_encode_png_roundtrip(tmp_path):
     back = img_io.read_png(str(p))
     np.testing.assert_allclose(back, rgb8.astype(np.float32) / 255.0,
                                atol=1e-6)
+
+
+def test_preview_with_restir_orbit_invalidates_reservoir():
+    """--restir is pitched as the interactive-preview feature
+    (BENCHMARKS.md round 4): the preview must serve frames from a restir
+    renderer, and an orbit (camera change) must RESET the temporal
+    reservoir — stale light points must never survive a camera move."""
+    from project3_cuda_path_tracer_tpu.scene import types as T
+    s = load_scene("scenes/manylights.txt")
+    s.camera.resolution = (16, 16)
+    s.camera.derive()
+    s.settings.trace_depth = 2
+    st = T.RenderSettings(**{**s.settings.__dict__, "restir": 2})
+    r = Renderer(s, settings=st)
+    r.render(3)
+    assert float(np.asarray(r.reservoir["M"]).max()) > 0
+    srv = PreviewServer(r, port=0).start()
+    try:
+        data = _get(srv, "/frame.png").read()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/orbit?dphi=0.3&dtheta=0&dzoom=0",
+            method="POST")
+        assert json.loads(urllib.request.urlopen(req, timeout=10).read())["ok"]
+        assert r.iteration == 0
+        assert float(np.asarray(r.reservoir["M"]).max()) == 0.0
+        r.render(2)   # renders again from the new camera
+        assert np.isfinite(r.image()).all()
+    finally:
+        srv.stop()
