@@ -115,13 +115,25 @@ def build_light_table(scene) -> Tuple[tuple, float]:
     return tuple(out), float(total)
 
 
-def sample_lights_planar(faces: tuple, u_face, u1, u2):
-    """Uniform-by-area sample over the light union (static face unroll).
+# Above this face count the static unroll switches to the gather-based
+# sampler: the unroll's XLA cost is O(F) chained selects PER CANDIDATE
+# (the round-4 probe measured a 64-face x M=4 x depth-4 trace exceeding
+# 50 min of CPU compile), while the gather form is F-independent
+# (log F searchsorted + 15 small-table takes). For small F the unroll
+# wins at runtime (no gathers), so it stays the default.
+UNROLL_MAX_FACES = 16
 
-    Returns (lp V3, ln V3, light_mat [N] int32). Per-lane face choice via
-    the CDF in the table; each face's candidate point is computed from
-    scalars broadcast against the uniform planes, then chained-selected.
+
+def sample_lights_planar(faces: tuple, u_face, u1, u2):
+    """Uniform-by-area sample over the light union.
+
+    Returns (lp V3, ln V3, light_mat [N] int32). Static face unroll for
+    small tables (chained selects, no gathers); CDF-searchsorted +
+    per-lane table gathers above UNROLL_MAX_FACES (identical estimator —
+    tests/test_nee.py::test_gather_sampler_matches_unroll).
     """
+    if len(faces) > UNROLL_MAX_FACES:
+        return _sample_lights_gather(faces, u_face, u1, u2)
     def face_point(f):
         cum, kind = f[0], f[1]
         o = V3(*(c + jnp.zeros_like(u1) for c in f[2:5]))
@@ -151,6 +163,42 @@ def sample_lights_planar(faces: tuple, u_face, u1, u2):
         lmat = jnp.where(take, f[14], lmat)
         prev_cum = f[0]
     return lp, ln, lmat.astype(jnp.int32)
+
+
+def _sample_lights_gather(faces: tuple, u_face, u1, u2):
+    """Gather-based face sampler for LARGE light tables (F >
+    UNROLL_MAX_FACES): per-lane face id via searchsorted on the CDF
+    column, then 15 per-lane takes of the [F]-row table planes. The
+    small-table gathers are F-independent, so compile time and runtime
+    stop scaling with the light count. Semantics match the unroll
+    exactly: u in [cum_{j-1}, cum_j) selects face j (side='right')."""
+    tab = np.asarray(faces, np.float32)          # [F,16] host constant
+    cum = jnp.asarray(tab[:-1, 0])               # last cum pinned to 1.0
+    fi = jnp.searchsorted(cum, u_face, side="right").astype(jnp.int32)
+
+    def g(col):
+        return jnp.take(jnp.asarray(tab[:, col]), fi)
+
+    kind = g(1)
+    o = V3(g(2), g(3), g(4))
+    # sphere branch (branchless; both forms computed, lanes select)
+    r = g(15)
+    z = 1.0 - 2.0 * u1
+    rxy = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = u2 * (2.0 * math.pi)
+    w = V3(rxy * jnp.cos(phi), rxy * jnp.sin(phi), z)
+    lp_s = V3(o.x + r * w.x, o.y + r * w.y, o.z + r * w.z)
+    # parallelogram branch
+    eu = V3(g(5), g(6), g(7))
+    ev = V3(g(8), g(9), g(10))
+    nrm = V3(g(11), g(12), g(13))
+    lp_p = V3(o.x + u1 * eu.x + u2 * ev.x,
+              o.y + u1 * eu.y + u2 * ev.y,
+              o.z + u1 * eu.z + u2 * ev.z)
+    sph = kind >= 0.5
+    lp = vec.where(sph, lp_s, lp_p)
+    ln = vec.where(sph, w, nrm)
+    return lp, ln, g(14).astype(jnp.int32)
 
 
 _LUM = (0.2126, 0.7152, 0.0722)
