@@ -42,12 +42,29 @@ def _shift(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
         pad_x[1], w, axis=1)
 
 
-@partial(jax.jit, static_argnames=("iterations",))
+def _lum(img: jnp.ndarray) -> jnp.ndarray:
+    return (0.2126 * img[..., 0:1] + 0.7152 * img[..., 1:2]
+            + 0.0722 * img[..., 2:3])
+
+
+def _gauss3(a: jnp.ndarray) -> jnp.ndarray:
+    """3x3 binomial blur via static shifts (no convolution op)."""
+    k = (0.25, 0.5, 0.25)
+    out = jnp.zeros_like(a)
+    for ty, hy in enumerate(k):
+        for tx, hx in enumerate(k):
+            out = out + (hy * hx) * _shift(a, ty - 1, tx - 1)
+    return out
+
+
+@partial(jax.jit, static_argnames=("iterations", "variance_guided"))
 def atrous_denoise(img: jnp.ndarray, normal: jnp.ndarray,
                    pos: jnp.ndarray, iterations: int = 5,
                    sigma_c: float = 4.0, sigma_n: float = 0.35,
                    sigma_x: float = 0.6,
-                   albedo: jnp.ndarray = None) -> jnp.ndarray:
+                   albedo: jnp.ndarray = None,
+                   variance_guided: bool = False,
+                   sigma_v: float = 4.0) -> jnp.ndarray:
     """Denoise a [H,W,3] radiance image using [H,W,3] first-hit normal and
     world-position G-buffers. Returns the filtered [H,W,3] image.
 
@@ -70,11 +87,31 @@ def atrous_denoise(img: jnp.ndarray, normal: jnp.ndarray,
         demod = jnp.maximum(jnp.asarray(albedo, jnp.float32), 1e-2)
         img = img / demod
 
+    var = None
+    if variance_guided:
+        # SVGF-style guidance (Schied et al. 2017, the spatial half):
+        # the radiance edge-stop normalizes the LUMINANCE difference by
+        # the local noise standard deviation instead of a global sigma —
+        # noisy regions filter aggressively, converged regions preserve
+        # detail. With no per-pixel sample history at save time, the
+        # initial variance is the SVGF fallback spatial estimate (3x3
+        # binomial moments of illumination luminance), and it is
+        # propagated through each pass as var' = sum(w^2 var_q)/(sum w)^2.
+        lum = _lum(img)
+        mu1 = _gauss3(lum)
+        mu2 = _gauss3(lum * lum)
+        var = jnp.maximum(mu2 - mu1 * mu1, 0.0)
+
     for i in range(iterations):
         step = 1 << i
         sc2 = (sigma_c / (1 << i)) ** 2
         acc = jnp.zeros_like(img)
         wsum = jnp.zeros(img.shape[:2] + (1,), jnp.float32)
+        if variance_guided:
+            lum = _lum(img)
+            # Gaussian-prefiltered deviation for the weights (SVGF §4.2)
+            sdev = jnp.sqrt(_gauss3(var))
+            acc_v = jnp.zeros_like(var)
         for ty, hy in enumerate(_B3):
             for tx, hx in enumerate(_B3):
                 dy, dx = (ty - 2) * step, (tx - 2) * step
@@ -82,14 +119,23 @@ def atrous_denoise(img: jnp.ndarray, normal: jnp.ndarray,
                 c_q = _shift(img, dy, dx)
                 n_q = _shift(normal, dy, dx)
                 x_q = _shift(pos, dy, dx)
-                dc = jnp.sum((img - c_q) ** 2, axis=-1, keepdims=True)
                 dn = jnp.sum((normal - n_q) ** 2, axis=-1, keepdims=True)
                 dxw = jnp.sum((pos - x_q) ** 2, axis=-1, keepdims=True)
-                w = h * jnp.exp(-dc / sc2 - dn / (sigma_n ** 2)
-                                - dxw / (sigma_x ** 2))
+                if variance_guided:
+                    dl = jnp.abs(lum - _shift(lum, dy, dx))
+                    w = h * jnp.exp(-dl / (sigma_v * sdev + 1e-8)
+                                    - dn / (sigma_n ** 2)
+                                    - dxw / (sigma_x ** 2))
+                    acc_v = acc_v + (w * w) * _shift(var, dy, dx)
+                else:
+                    dc = jnp.sum((img - c_q) ** 2, axis=-1, keepdims=True)
+                    w = h * jnp.exp(-dc / sc2 - dn / (sigma_n ** 2)
+                                    - dxw / (sigma_x ** 2))
                 acc = acc + w * c_q
                 wsum = wsum + w
         img = acc / jnp.maximum(wsum, 1e-8)
+        if variance_guided:
+            var = acc_v / jnp.maximum(wsum, 1e-8) ** 2
     if demod is not None:
         img = img * demod
     return img
