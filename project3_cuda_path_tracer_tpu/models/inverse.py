@@ -92,14 +92,19 @@ def history_residual_grad_loss(params, geoms, meshes, textures, key, cfg,
     step's render — samples from *previous* iterations satisfy both by
     construction, and their average has far lower variance than one fresh
     render. The one caveat is staleness: past renders were taken at past
-    θ, so the residual lags E[L(θ_now)]. With the default decay
-    (HISTORY_DECAY = 0.0, i.e. the residual IS the previous step's
-    render) the lag is one optimizer step — second-order in the learning
-    rate, and measured on par with the two-render loss on the fit
-    benchmarks (tests/test_grad.py::test_history_scan_recovers_albedo,
-    tools/inverse_demo.py A/B in BENCHMARKS.md). Decays >0 were measured
-    UNSTABLE — see the HISTORY_DECAY comment. This halves the train step
-    (one render + backward instead of two renders + backward) — the
+    θ, so the residual lags E[L(θ_now)] by one optimizer step (the
+    default HISTORY_DECAY = 0.0 uses exactly the previous step's
+    render). MEASURED consequence (tools/inverse_demo.py A/B, BENCHMARKS
+    round 4): under CONSTANT-lr adam the lag shifts the fit's
+    equilibrium by roughly one adam step's worth of parameter drift —
+    e.g. +0.2 albedo at lr 5e-2 on the 32^2 demo, shrinking to the
+    two-render loss's own level at lr 1e-2; a periodic independent
+    residual refresh does NOT remove it (it is the lag, not
+    sample-noise coupling). For precision fits, anneal the lr or polish
+    with `unbiased_mse_grad_loss` for the final steps; for training
+    throughput the shift is irrelevant. Decays >0 were measured UNSTABLE
+    — see the HISTORY_DECAY comment. This halves the train step (one
+    render + backward instead of two renders + backward) — the
     round-3→4 fwd+bwd throughput lever.
 
     Returns (loss, rendered_image): the caller folds the (detached) image
@@ -283,14 +288,24 @@ class InverseRenderer:
         w, h = scene.camera.resolution
         types = np.asarray(scene.geoms.type)
         mesh_idx = tuple(int(i) for i in np.nonzero(types == T.MESH)[0])
+        depth = trace_depth or scene.settings.trace_depth
+        # Auto trace schedule (round-4 A/B, BENCHMARKS.md): for non-mesh
+        # scenes up to the canonical 800^2 x depth-8 size, UNROLLING the
+        # bounce loop with remat OFF runs the train step 1.8x faster
+        # (all bounce residuals fit HBM as plain live values; under a
+        # scan the same choice is the WORST schedule). Mesh scenes keep
+        # remat (packet-traversal recompute is the expensive part), and
+        # bigger traces keep scan+save-"hits" for memory.
+        fast = (not mesh_idx) and (w * h * depth <= 800 * 800 * 8)
         self.cfg = integ.TraceConfig(
             width=w, height=h,
-            trace_depth=trace_depth or scene.settings.trace_depth,
+            trace_depth=depth,
             antialias=scene.settings.antialias,
             mesh_geom_indices=mesh_idx,
             geom_types=tuple(int(t) for t in types),
             mesh_ids=tuple(int(m) for m in np.asarray(scene.geoms.mesh_id)),
-            unroll=bool(len(mesh_idx) and scene.packed_meshes),
+            unroll=bool(len(mesh_idx) and scene.packed_meshes) or fast,
+            remat=not fast,
             differentiable_mesh=bool(len(mesh_idx)),
             glossy=bool(np.any(np.asarray(
                 scene.materials.specular_exponent) > 0)),

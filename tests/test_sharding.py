@@ -121,3 +121,52 @@ def test_sharded_step_many_stream_identical():
     r2.step_many(5)
     assert r1.iteration == r2.iteration == 5
     assert (np.asarray(r1.accum) == np.asarray(r2.accum)).all()
+
+
+def test_sharded_history_train_grads_match_single(cornell_32):
+    """The production train step (one-render history-residual loss) under
+    the 8-device data-parallel mesh must produce the SAME loss and
+    parameter gradients as the single-device trace: pixels shard on
+    'data', params replicate, and GSPMD's automatic psum over the pixel
+    mean is the whole multi-chip training story."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from project3_cuda_path_tracer_tpu.render import integrator as integ
+    from project3_cuda_path_tracer_tpu.models.inverse import (
+        RenderParams, history_residual_grad_loss)
+    s = cornell_32
+    gt = tuple(int(t) for t in np.asarray(s.geoms.type))
+    key = jax.random.PRNGKey(6)
+    params = RenderParams(materials=s.materials, cam=s.camera.flat())
+    target = jnp.full((32, 32, 3), 0.3, jnp.float32)
+    residual = jnp.linspace(0.0, 1.0, 32 * 32 * 3).reshape(32, 32, 3)
+
+    def grads_with(cfg, put):
+        p = jax.tree_util.tree_map(put["rep"], params)
+
+        def lf(p):
+            return history_residual_grad_loss(
+                p, s.geoms, s.meshes, s.textures, key, cfg,
+                put["row"](target), put["row"](residual))[0]
+        loss, g = jax.jit(jax.value_and_grad(lf))(p)
+        return float(loss), jax.tree_util.tree_map(np.asarray, g)
+
+    base = integ.TraceConfig(width=32, height=32, trace_depth=3,
+                             antialias=True, geom_types=gt,
+                             glossy=False, sky=False)
+    ident = {"rep": lambda a: a, "row": lambda a: a}
+    loss1, g1 = grads_with(base, ident)
+
+    mesh = make_mesh()
+    ray_sh = NamedSharding(mesh, P("data"))
+    row_sh = NamedSharding(mesh, P("data", None, None))
+    rep = NamedSharding(mesh, P())
+    import dataclasses
+    cfg_sh = dataclasses.replace(base, ray_sharding=ray_sh)
+    putm = {"rep": lambda a: jax.device_put(a, rep),
+            "row": lambda a: jax.device_put(a, row_sh)}
+    loss8, g8 = grads_with(cfg_sh, putm)
+
+    assert loss1 == pytest.approx(loss8, rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g8)):
+        np.testing.assert_allclose(a, b, atol=1e-5)

@@ -26,6 +26,7 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--depth", type=int, default=3)
     ap.add_argument("--outdir", default="renders")
+    ap.add_argument("--lr", type=float, default=5e-2)
     ap.add_argument("--history", action="store_true",
                     help="use the one-render history-residual loss "
                          "(models/inverse.history_residual_grad_loss) "
@@ -65,7 +66,7 @@ def main() -> int:
     params = RenderParams(materials=bad, cam=true_params.cam)
     initial_img = render(params, keys[0])
 
-    opt = optax.adam(5e-2)
+    opt = optax.adam(args.lr)
     opt_state = opt.init(params)
 
     def _mask_grads(params, grads):
