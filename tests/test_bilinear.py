@@ -164,3 +164,18 @@ def test_bilinear_fast_render_matches_exact():
     assert np.isfinite(fast).all()
     assert abs(float(exact.mean()) - float(fast.mean())) < 0.02
     assert not np.array_equal(exact, fast)
+
+
+@pytest.mark.slow
+def test_cli_bilinear_fast_flag(tmp_path):
+    """--bilinear-fast implies --bilinear and renders end-to-end."""
+    from project3_cuda_path_tracer_tpu.app.cli import build_parser, main
+    args = build_parser().parse_args(["s.txt", "--bilinear-fast"])
+    assert args.bilinear_fast and not args.bilinear
+    import shutil, glob, os
+    # textured_env at tiny res: copy the scene + assets dir reference
+    out = tmp_path / "bf"
+    rc = main(["scenes/textured_env.txt", "--iterations", "1",
+               "--depth", "2", "--bilinear-fast", "--out", str(out)])
+    assert rc == 0
+    assert glob.glob(str(out) + "*.png")
