@@ -205,7 +205,7 @@ def make_train_step(geoms, meshes, textures, cfg: integ.TraceConfig,
 def make_train_scan(geoms, meshes, textures, cfg: integ.TraceConfig,
                     num_steps: int, optimizer=None, unbiased: bool = True,
                     packed_meshes=(), bake: bool = True,
-                    history: bool = True,
+                    history: bool = False,
                     history_decay: float = HISTORY_DECAY):
     """Build a jitted function that runs `num_steps` optimizer steps in ONE
     device program via lax.scan — the production training-loop form. Per-step
@@ -214,8 +214,8 @@ def make_train_scan(geoms, meshes, textures, cfg: integ.TraceConfig,
     training epochs). RNG: step i uses fold_in(key, i), matching what the
     equivalent make_train_step loop would do.
 
-    ``history=True`` (the default — the round-4 throughput form) uses the
-    one-render history-residual step: signature
+    ``history=True`` (opt-in — the round-4 throughput form, what bench.py
+    uses) switches to the one-render history-residual step: signature
     (params, opt_state, hist, key, target) -> (params, opt_state, hist,
     losses[num_steps]); the residual EMA is loop-carried through the scan
     AND across epochs (seed it once with make_seed_history). One render +
@@ -278,12 +278,32 @@ def make_train_scan(geoms, meshes, textures, cfg: integ.TraceConfig,
 
 
 class InverseRenderer:
-    """Fit scene parameters to a target image by gradient descent."""
+    """Fit scene parameters to a target image by gradient descent.
+
+    Loss schedule: ``history=True`` (default) runs the fast ONE-render
+    history-residual step, whose one-step-stale residual shifts the fit
+    equilibrium by ~one adam step of drift at constant lr (measured:
+    +0.2 albedo at lr 5e-2 on the 32^2 demo — BENCHMARKS.md round-4 fit
+    caveat). The PRECISION mitigation is shipped, not advisory:
+    ``fit(steps)`` finishes with ``polish_steps`` two-render unbiased
+    steps (same optimizer state; the lag term vanishes, adam's momentum
+    washes out in ~1/(1-b1)=10 steps), so the default fit converges to
+    the two-render equilibrium at nearly one-render cost. Set
+    ``polish_steps=0`` for raw throughput, or call ``step(polish=True)``
+    yourself for custom schedules."""
+
+    # Default two-render polish tail for fit() under history=True: adam's
+    # momentum horizon is 1/(1-b1) = 10 steps; 3x that replaces the stale
+    # history equilibrium with the unbiased one (measured: recovers the
+    # two-render fit to ±0.02 on the 32^2 demo at lr 5e-2 — see
+    # tools/inverse_demo.py --polish A/B in BENCHMARKS.md round 5).
+    POLISH_STEPS = 30
 
     def __init__(self, scene: T.Scene, target: np.ndarray,
                  spp_per_step: int = 1, learning_rate: float = 1e-2,
                  trace_depth: Optional[int] = None, seed: int = 0,
-                 history: bool = True):
+                 history: bool = True,
+                 polish_steps: Optional[int] = None):
         import optax
         w, h = scene.camera.resolution
         types = np.asarray(scene.geoms.type)
@@ -318,35 +338,67 @@ class InverseRenderer:
             jnp.array, RenderParams(materials=scene.materials,
                                     cam=scene.camera.flat()))
         self.history = history
-        self.opt, self._step = make_train_step(
+        self.polish_steps = (self.POLISH_STEPS if polish_steps is None
+                             else int(polish_steps)) if history else 0
+        self.opt = optax.adam(learning_rate)
+        _, self._step = make_train_step(
             scene.geoms, scene.meshes, scene.textures, self.cfg,
-            optimizer=optax.adam(learning_rate),
+            optimizer=self.opt,
             packed_meshes=scene.packed_meshes, history=history)
         self.opt_state = self.opt.init(self.params)
         self.key = jax.random.PRNGKey(seed)
         self.spp = spp_per_step
         self.hist = None
+        self._plain_step = None if history else self._step
         if history:
             self._seed_hist = make_seed_history(
                 scene.geoms, scene.meshes, scene.textures, self.cfg,
                 packed_meshes=scene.packed_meshes)
 
-    def step(self) -> float:
+    def _get_plain_step(self):
+        """Lazily-built two-render unbiased step sharing self.opt (same
+        adam hyperparams -> opt_state carries over across loss forms)."""
+        if self._plain_step is None:
+            _, self._plain_step = make_train_step(
+                self.scene.geoms, self.scene.meshes, self.scene.textures,
+                self.cfg, optimizer=self.opt,
+                packed_meshes=self.scene.packed_meshes, history=False)
+        return self._plain_step
+
+    def step(self, polish: bool = False) -> float:
+        """One optimizer step. ``polish=True`` forces the two-render
+        unbiased loss regardless of the history mode (the precision
+        tail; optimizer state is shared between the two forms)."""
         loss = None
-        if self.history and self.hist is None:
+        use_hist = self.history and not polish
+        if use_hist and self.hist is None:
             # Seed the residual EMA with ONE detached render — the first
             # history step is then exactly the two-render unbiased loss.
             self.key, k = jax.random.split(self.key)
             self.hist = self._seed_hist(self.params, k)
         for _ in range(self.spp):
             self.key, k = jax.random.split(self.key)
-            if self.history:
+            if use_hist:
                 self.params, self.opt_state, self.hist, loss = self._step(
                     self.params, self.opt_state, self.hist, k, self.target)
             else:
-                self.params, self.opt_state, loss = self._step(
+                step = self._get_plain_step()
+                self.params, self.opt_state, loss = step(
                     self.params, self.opt_state, k, self.target)
+                # a later history step must re-seed: params moved under a
+                # different loss, the old residual is extra-stale
+                self.hist = None
         return float(loss)
 
-    def fit(self, steps: int) -> list:
-        return [self.step() for _ in range(steps)]
+    def fit(self, steps: int, polish_steps: Optional[int] = None) -> list:
+        """Run `steps` optimizer steps; under history mode the LAST
+        `polish_steps` (default self.polish_steps) use the two-render
+        unbiased loss so the fit lands on the unbiased equilibrium."""
+        ps = self.polish_steps if polish_steps is None else int(polish_steps)
+        # cap at half the fit so short fits still exercise the history
+        # loss they asked for (an explicit polish_steps= arg may exceed it)
+        cap = steps if polish_steps is not None else steps // 2
+        ps = min(max(ps, 0), cap) if self.history else 0
+        losses = [self.step() for _ in range(steps - ps)]
+        losses += [self.step(polish=True) for _ in range(ps)]
+        return losses

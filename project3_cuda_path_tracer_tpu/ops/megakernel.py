@@ -13,10 +13,24 @@ kernel as compile-time constants*: a path tracer's scene is uniform across
 all rays, so every transform element is a scalar the compiler folds into
 the instruction stream — zero loads. One compile per scene (cached by jit).
 
-Scope: primitive scenes (CUBE/SPHERE), no textures/env (static fallback to
-the planar jnp path otherwise — meshes/BVH and textures keep their own
-implementations). Differentiable rendering also uses the jnp path; this
-kernel is the pure-forward fast path the progressive Renderer hits.
+Scope (FROZEN, round 5): primitive scenes (CUBE/SPHERE), no textures/env
+(static fallback to the planar jnp path otherwise — meshes/BVH and
+textures keep their own implementations), and NO NEE — the plain BSDF
+estimator only. Rationale for the freeze rather than feature parity with
+the wavefront renderer: this kernel is a measured-ALTERNATIVE, not the
+production path — the hand-fused form runs ~2x SLOWER than the XLA-fused
+wavefront pipeline on the same scenes (BENCHMARKS.md "megakernel":
+27.4 vs 13.5 ms/iter on cornell 800^2 d8; XLA's own fusion already
+eliminates the inter-stage HBM traffic this kernel was built to remove,
+and Mosaic's serial loop body underuses the VPU). Wiring NEE (light
+tables, shadow traversal, MIS weights) into the Mosaic kernel would roughly
+double its code surface to chase a path that loses to the default renderer
+with NEE on; the CLI prints the drop and renders the plain estimator
+(app/cli.py). The kernel stays as the documented fusion experiment +
+fallback-free forward path; revisit only if the Mosaic toolchain changes
+the 2x verdict (the re-probe triggers in BENCHMARKS.md round-3
+postmortem). Differentiable rendering also uses the jnp path; the
+wavefront renderer is the quality/production default.
 
 Parity: same math as ops/wavefront.py (itself parity-tested against the
 row-based oracles); tests/test_megakernel.py asserts statistical agreement.
@@ -42,8 +56,13 @@ BIG = 1e30
 
 
 def supports(scene: T.Scene) -> bool:
-    """Static eligibility: primitives only, no textures/env/bump maps."""
+    """Static eligibility: primitives only, no textures/env/bump maps,
+    and a bounded geom count (the kernel unrolls per geom; many-light
+    scenes go through the wavefront renderer's batched-sphere path —
+    ops/wavefront._batched_spheres_planar — instead)."""
     types = np.asarray(scene.geoms.type)
+    if types.shape[0] > 32:
+        return False
     if (types == T.MESH).any() or (types == T.SDF).any():
         return False
     tx = scene.textures

@@ -86,7 +86,17 @@ def norm(a: V3) -> jnp.ndarray:
 
 
 def normalize(a: V3) -> V3:
-    return a * jax.lax.rsqrt(jnp.maximum(dot(a, a), 1e-30))
+    """Unit vector; zero/near-zero lanes pass through unscaled.
+
+    Double-where instead of max(dot, 1e-30): rsqrt's VJP factor is
+    -ans^3/2 = 1e45 at the old floor — inf in f32 — and JAX's max
+    transpose multiplies by an indicator instead of selecting, so dead
+    lanes' 0 cotangent times that inf NaN'ed every gradient flowing
+    through a wavefront with zero-vector lanes (miss lanes' normals are
+    zero; hit lanes are unchanged bitwise — their dot passes the same
+    value through). Legit directions have norm >= 1/max-scale >> 1e-6."""
+    d2 = dot(a, a)
+    return a * jax.lax.rsqrt(jnp.where(d2 > 1e-12, d2, 1.0))
 
 
 def where(c, a: V3, b: V3) -> V3:

@@ -24,6 +24,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import vec
 from .vec import V3
@@ -253,7 +254,17 @@ class HitP(NamedTuple):
 def _box_local_planar(qo: V3, qd: V3):
     """Unit-cube slab test (reference: src/intersections.h:48-90) with the
     axis argmax/argmin replaced by comparison selects."""
-    inv = V3(1.0 / qd.x, 1.0 / qd.y, 1.0 / qd.z)  # inf on axis-parallel: ok
+    # exact-zero components are bumped to 1e-30 instead of dividing to
+    # inf: the slab decisions are identical (t ~ 1e30 ordering like inf),
+    # but 1/0's infinite VJP would NaN live-direction gradients (secondary
+    # mirror/refraction chains) through the multiply-style min/max
+    # transposes even on unselected slabs. The clamp is 1e-12 (not
+    # denormal-tiny): 1/x's VJP is -1/x^2, which must stay finite in f32
+    # (1e24 here); the slab decisions at t ~ 1e12 are the same as at inf.
+    def _nz(c):
+        return jnp.where(jnp.abs(c) < 1e-12,
+                         jnp.where(c < 0, -1e-12, 1e-12), c)
+    inv = V3(1.0 / _nz(qd.x), 1.0 / _nz(qd.y), 1.0 / _nz(qd.z))
     t1 = V3((-0.5 - qo.x) * inv.x, (-0.5 - qo.y) * inv.y,
             (-0.5 - qo.z) * inv.z)
     t2 = V3((0.5 - qo.x) * inv.x, (0.5 - qo.y) * inv.y, (0.5 - qo.z) * inv.z)
@@ -287,11 +298,19 @@ def _box_local_planar(qo: V3, qd: V3):
 
 
 def _sphere_local_planar(qo: V3, qd: V3):
-    """r=0.5 sphere quadratic (reference: src/intersections.h:102-144)."""
+    """r=0.5 sphere quadratic (reference: src/intersections.h:102-144).
+
+    The discriminant sqrt is double-where'd: sqrt(max(x,0)) at x<0 has a
+    0*inf VJP (JAX's max transpose multiplies by an indicator instead of
+    selecting, so the sqrt-at-zero infinite derivative NaNs every
+    upstream gradient — camera position, and the IOR/SPECEX chains that
+    flow through scatter directions since round 5). Miss lanes get a
+    dummy radicand; their t roots were garbage already (hit=False routes
+    them away)."""
     v_dot_d = vec.dot(qo, qd)
     radicand = v_dot_d * v_dot_d - (vec.dot(qo, qo) - 0.25)
     has_root = radicand >= 0
-    s = jnp.sqrt(jnp.maximum(radicand, 0.0))
+    s = jnp.sqrt(jnp.where(has_root, jnp.maximum(radicand, 0.0), 1.0))
     t1 = -v_dot_d + s
     t2 = -v_dot_d - s
     both_neg = (t1 < 0) & (t2 < 0)
@@ -345,7 +364,12 @@ def _primitive_hit_planar(o: V3, d: V3, times, geoms: T.Geoms, g: int,
         flip = jnp.where(outside, 1.0, -1.0)
         n_local = V3(ip_obj.x * flip, ip_obj.y * flip, ip_obj.z * flip)
         u = 0.5 + jnp.arctan2(ip_obj.z, ip_obj.x) / (2 * jnp.pi)
-        v = 0.5 + jnp.arcsin(jnp.clip(ip_obj.y / 0.5, -1.0, 1.0)) / jnp.pi
+        # 1e-7 inset: arcsin'(+-1) = inf and clip's multiply-style VJP
+        # passes 0*inf = NaN for garbage lanes with |y| > 0.5 (see the
+        # sphere-quadratic guard); primal shift only at exact pole hits
+        # (v moves ~1.4e-4 texels at 4k)
+        v = 0.5 + jnp.arcsin(jnp.clip(ip_obj.y / 0.5,
+                                      -1.0 + 1e-7, 1.0 - 1e-7)) / jnp.pi
         if tangents:
             # equirect dP_obj/du ~ d/du (cos, ., sin)(2*pi*u) ~ (-z, 0, x);
             # degenerates at the poles (shade_planar falls back there)
@@ -630,6 +654,124 @@ def _mesh_hit_packet(o: V3, d: V3, times, geoms: T.Geoms, packed,
                 tan=tan)
 
 
+# Blocked-scan chunk width for the batched sphere intersector: K spheres
+# are tested per scan step (inner unroll), so carry HBM traffic scales
+# with B/K while compile size stays O(K).
+SPHERE_BATCH_K = 16
+
+
+def _batched_spheres_planar(o: V3, d: V3, times, geoms: T.Geoms,
+                            idxs: Tuple[int, ...],
+                            tangents: bool = False) -> HitP:
+    """ALL eligible SPHERE geoms against the wavefront in ONE blocked
+    lax.scan — the many-light scaling path (scenes/manylights256.txt).
+
+    The per-geom unroll of intersect_planar is O(G) in compile size AND
+    instruction count; a 256-emitter scene has 258 geoms, which is far
+    past where the unroll explodes. Eligibility (static, computed by
+    render/integrator.build_trace_config): uniform scale (the sphere
+    reduces to a world-space center+radius quadratic — rotation cannot
+    matter for the surface or its radial normals) and an untextured,
+    checker-free, bump-free material (uv is meaningless in world frame,
+    so lanes won't consume it). Motion velocity is supported.
+
+    The scan carries only (t_best, winner index) — 2 [N] planes — and
+    the winner's attributes are recomputed post-scan from 8 small-table
+    gathers, exactly like the packet-BVH winner path. Matches
+    _primitive_hit_planar's sphere semantics: positive world-distance t,
+    RAY_EPS object-unit back-off (RAY_EPS * 2r in world units), interior
+    normal flip, two-sided hits."""
+    n = o.x.shape[0]
+    gi = jnp.asarray(np.asarray(idxs, np.int32))
+    tm = jnp.take(geoms.transform, gi, axis=0)            # [B,4,4]
+    cx, cy, cz = tm[:, 0, 3], tm[:, 1, 3], tm[:, 2, 3]
+    r = 0.5 * jnp.sqrt(tm[:, 0, 0] ** 2 + tm[:, 1, 0] ** 2
+                       + tm[:, 2, 0] ** 2)
+    velt = jnp.take(geoms.velocity, gi, axis=0)           # [B,3]
+    mid = jnp.take(geoms.material_id, gi)                 # [B]
+
+    b_count = len(idxs)
+    k = SPHERE_BATCH_K
+    pad = (-b_count) % k
+    steps = (b_count + pad) // k
+
+    def padv(a, fill):
+        if pad == 0:
+            return a
+        return jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
+
+    # padding spheres: r = 0 at a far center — disc < 0, never hit
+    cxp, cyp, czp = padv(cx, 1e9), padv(cy, 1e9), padv(cz, 1e9)
+    rp = padv(r, 0.0)
+    vxp, vyp, vzp = (padv(velt[:, 0], 0.0), padv(velt[:, 1], 0.0),
+                     padv(velt[:, 2], 0.0))
+    cols = jnp.stack([cxp, cyp, czp, rp, vxp, vyp, vzp], axis=1)
+    blocks = cols.reshape(steps, k, 7)
+
+    def step(carry, blk):
+        t_best, i_best, base = carry
+        for j in range(k):
+            scx, scy, scz, sr = blk[j, 0], blk[j, 1], blk[j, 2], blk[j, 3]
+            svx, svy, svz = blk[j, 4], blk[j, 5], blk[j, 6]
+            ocx = o.x - svx * times - scx
+            ocy = o.y - svy * times - scy
+            ocz = o.z - svz * times - scz
+            bq = ocx * d.x + ocy * d.y + ocz * d.z
+            cq = ocx * ocx + ocy * ocy + ocz * ocz - sr * sr
+            disc = bq * bq - cq
+            has = disc >= 0.0
+            # double-where (see _sphere_local_planar): miss lanes must not
+            # NaN gradients through sqrt's 0*inf VJP
+            s = jnp.sqrt(jnp.where(has, jnp.maximum(disc, 0.0), 1.0))
+            t1 = -bq + s
+            t2 = -bq - s
+            both_neg = (t1 < 0) & (t2 < 0)
+            both_pos = (t1 > 0) & (t2 > 0)
+            t_c = jnp.where(both_pos, jnp.minimum(t1, t2),
+                            jnp.maximum(t1, t2))
+            closer = has & ~both_neg & (t_c < t_best)
+            t_best = jnp.where(closer, t_c, t_best)
+            i_best = jnp.where(closer, base + j, i_best)
+        return (t_best, i_best + 0, base + k), None
+
+    t0 = jnp.full((n,), BIG, jnp.float32)
+    i0 = jnp.full((n,), -1, jnp.int32)
+    (t_best, i_best, _), _ = jax.lax.scan(
+        step, (t0, i0, jnp.int32(0)), blocks)
+
+    got = i_best >= 0
+    iw = jnp.clip(i_best, 0, b_count - 1)
+    cwx, cwy, cwz = (jnp.take(cxp, iw), jnp.take(cyp, iw),
+                     jnp.take(czp, iw))
+    rw = jnp.maximum(jnp.take(rp, iw), 1e-12)
+    vwx, vwy, vwz = (jnp.take(vxp, iw), jnp.take(vyp, iw),
+                     jnp.take(vzp, iw))
+    matw = jnp.take(mid, iw)
+    # shift the center INTO the ray's time frame (equivalent to shifting
+    # the origin out of it, matching _primitive_hit_planar)
+    cwx = cwx + vwx * times
+    cwy = cwy + vwy * times
+    cwz = cwz + vwz * times
+    surf = V3(o.x + t_best * d.x, o.y + t_best * d.y, o.z + t_best * d.z)
+    tb = t_best - (2.0 * RAY_EPS) * rw       # RAY_EPS in object units
+    point = V3(o.x + tb * d.x, o.y + tb * d.y, o.z + tb * d.z)
+    inv_r = 1.0 / rw
+    nr = V3((surf.x - cwx) * inv_r, (surf.y - cwy) * inv_r,
+            (surf.z - cwz) * inv_r)
+    ox_c = o.x - cwx
+    oy_c = o.y - cwy
+    oz_c = o.z - cwz
+    outside = ox_c * ox_c + oy_c * oy_c + oz_c * oz_c > rw * rw
+    flip = jnp.where(outside, 1.0, -1.0)
+    normal = vec.normalize(V3(nr.x * flip, nr.y * flip, nr.z * flip))
+    half = jnp.full((n,), 0.5, jnp.float32)  # uv unused (untextured elig.)
+    zero_tan = (V3(*(jnp.zeros((n,), jnp.float32),) * 3) if tangents
+                else None)
+    return HitP(t=jnp.where(got, t_best, BIG), normal=normal,
+                mat_id=matw, point=point, surf=surf,
+                u=half, v=half, outside=outside, tan=zero_tan)
+
+
 def intersect_planar(o: V3, d: V3, times, geoms: T.Geoms,
                      meshes: T.MeshBundle, geom_types: Tuple[int, ...],
                      packed_meshes: tuple = (),
@@ -639,7 +781,8 @@ def intersect_planar(o: V3, d: V3, times, geoms: T.Geoms,
                      sdf_kinds: Tuple = (),
                      any_hit: bool = False,
                      max_t=None,
-                     tangents: bool = False) -> HitP:
+                     tangents: bool = False,
+                     sphere_batch: Tuple[int, ...] = ()) -> HitP:
     """Nearest hit over all geoms (statically unrolled merge;
     reference loop: src/pathtrace.cu:176-199).
 
@@ -686,8 +829,13 @@ def intersect_planar(o: V3, d: V3, times, geoms: T.Geoms,
 
     # primitives first: their nearest hit becomes the meshes' occlusion
     # bound, letting the packet traversal prune subtrees behind known hits
+    batched = set(sphere_batch)
+    if batched:
+        best = merge(best, _batched_spheres_planar(o, d, times, geoms,
+                                                   sphere_batch,
+                                                   tangents=tangents))
     for g, gtype in enumerate(geom_types):
-        if gtype == T.MESH:
+        if gtype == T.MESH or g in batched:
             continue
         if gtype == T.SDF:
             best = merge(best, _sdf_hit_planar(o, d, times, geoms, g,
@@ -741,10 +889,30 @@ class ShadeOutP(NamedTuple):
     nee_pdf: Optional[jnp.ndarray] = None
 
 
+# Above this material count _mat_select switches from the chained-select
+# unroll to per-lane gathers. The unroll is the TPU-fast form for the
+# handful of materials ordinary scenes carry (no [N] gathers), but its
+# XLA graph is O(M) PER FETCH and a bounce makes ~15 fetches — at the
+# many-light scale (hundreds of per-light materials, scenes/
+# manylights256.txt) the compile explodes the same way the light-table
+# unroll did (round-4 measurement: >50 min CPU at 64 faces). Gathers on
+# [M]-row tables are M-independent at compile time and ~1 us/take at
+# wavefront scale (BENCHMARKS.md round-3 cost constants). Scenes at or
+# below the threshold compile bitwise-identically to before.
+MAT_UNROLL_MAX = 24
+
+
 def _mat_select(table: jnp.ndarray, mat_id: jnp.ndarray):
-    """Masked-select a [M] or [M,3] material column by per-ray id, unrolled
-    over the static material count (no [N] gathers)."""
+    """Masked-select a [M] or [M,3] material column by per-ray id:
+    unrolled chained selects for small M (no [N] gathers), per-lane
+    takes above MAT_UNROLL_MAX (many-light scenes)."""
     m_count = table.shape[0]
+    if m_count > MAT_UNROLL_MAX:
+        if table.ndim == 1:
+            return jnp.take(table, mat_id)
+        return V3(jnp.take(table[:, 0], mat_id),
+                  jnp.take(table[:, 1], mat_id),
+                  jnp.take(table[:, 2], mat_id))
     if table.ndim == 1:
         acc = jnp.broadcast_to(table[0], mat_id.shape)
         for m in range(1, m_count):
@@ -843,7 +1011,9 @@ def _env_bilinear_indices(textures: T.Textures, d: V3):
     filtering: longitude wraps, latitude clamps at the poles."""
     he, we = textures.env.shape[0], textures.env.shape[1]
     u = 0.5 + jnp.arctan2(d.x, -d.z) / (2.0 * jnp.pi)
-    v = jnp.arccos(jnp.clip(d.y, -1.0, 1.0)) / jnp.pi
+    # 1e-7 inset mirrors the sphere-uv guard: arccos'(+-1) = inf would
+    # NaN live-direction gradients on straight-up/down lanes
+    v = jnp.arccos(jnp.clip(d.y, -1.0 + 1e-7, 1.0 - 1e-7)) / jnp.pi
     xf = u * we - 0.5
     yf = v * he - 0.5
     x0 = jnp.floor(xf)
@@ -873,6 +1043,26 @@ def _unpack_565pair(p):
                   ((q >> 11) & 31).astype(jnp.float32) / 31.0)
 
     return one(p), one(p >> 16)
+
+
+def _unpack_envpair(p, scale):
+    """One env_pair u32 -> (texel, right-neighbor texel) as linear f32
+    HDR RGB (utils/image.pack_env_pair): two 12-bit 4/4/4 mini-RGBE
+    texels sharing one 8-bit exponent; channel = (m + 0.5) * 2^(E-132).
+    The power of two is bit-constructed like _unpack_rgbe's (exact, no
+    exp2 approximation); E == 0 decodes to black."""
+    ex = ((p >> 24) & 0xFF).astype(jnp.int32)
+    pot = jax.lax.bitcast_convert_type(
+        jnp.clip(ex - 5, 1, 254) << 23, jnp.float32)
+    s = jnp.where(ex > 0, pot, 0.0) * scale
+    q = p.astype(jnp.int32)
+
+    def one(t):
+        return V3(((t & 15).astype(jnp.float32) + 0.5) * s,
+                  (((t >> 4) & 15).astype(jnp.float32) + 0.5) * s,
+                  (((t >> 8) & 15).astype(jnp.float32) + 0.5) * s)
+
+    return one(q), one(q >> 12)
 
 
 def _bilerp(c00: V3, c10: V3, c01: V3, c11: V3, fu, fv) -> V3:
@@ -1016,14 +1206,33 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
             and textures.atlas_packed.shape[0] == ha * wa
             and textures.env_packed.shape[0] == he * we)
     has_pair = textures.atlas_pair.shape[0] == ha * wa
+    has_env_pair = textures.env_pair.shape[0] == he * we
     env_fused = None
-    if fuse and bilinear and bilinear_fast and has_pair:
-        # --bilinear-fast under the fused path: TWO u32 gathers instead of
-        # four. Each atlas_pair entry carries a full bilinear ROW (texel +
-        # in-rect right neighbor at RGB565), so gathers at (x0,y0) and
-        # (x0,y0+1) supply all four corners; env (miss) lanes ride the
-        # same two takes and use the first as a NEAREST RGBE fetch
-        # (documented: mag-filter atlas quality, nearest env).
+    if fuse and bilinear and bilinear_fast and has_pair and has_env_pair:
+        # --bilinear-fast with BOTH pair planes (round 5): the env's four
+        # bilinear corners ride the SAME two u32 gathers as the atlas —
+        # env_pair entries carry (texel, (x+1) mod W neighbor) as two
+        # 12-bit shared-exponent mini-RGBE texels (utils/image.
+        # pack_env_pair), so rows y0/y0+1 supply all four corners for hit
+        # AND miss lanes. Quality contract: 5/6-bit atlas, pair_max/16
+        # env error (tests/test_bilinear.py bounds both).
+        on_env = hit.t <= 0.0
+        a00, _, a01, _, fua, fva, textured = _atlas_bilinear_indices(
+            textures, mat_id, hit.u, hit.v)
+        e00, _, e01, _, fue, fve = _env_bilinear_indices(textures, ray_d)
+        table = jnp.concatenate([textures.atlas_pair, textures.env_pair])
+        p_top = jnp.take(table, jnp.where(on_env, e00 + ha * wa, a00))
+        p_bot = jnp.take(table, jnp.where(on_env, e01 + ha * wa, a01))
+        c00, c10 = _unpack_565pair(p_top)
+        c01, c11 = _unpack_565pair(p_bot)
+        albedo = vec.where(textured & ~on_env,
+                           _bilerp(c00, c10, c01, c11, fua, fva), albedo)
+        ec00, ec10 = _unpack_envpair(p_top, textures.env_enabled)
+        ec01, ec11 = _unpack_envpair(p_bot, textures.env_enabled)
+        env_fused = _bilerp(ec00, ec10, ec01, ec11, fue, fve)
+    elif fuse and bilinear and bilinear_fast and has_pair:
+        # atlas pair plane only (env_pair absent): TWO u32 gathers; env
+        # (miss) lanes ride the same takes as a NEAREST RGBE fetch.
         on_env = hit.t <= 0.0
         a00, _, a01, _, fu, fv, textured = _atlas_bilinear_indices(
             textures, mat_id, hit.u, hit.v)
@@ -1170,6 +1379,14 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
     # env lighting only when enabled (static shape check)
     if env_fused is not None:
         env = env_fused
+    elif has_env and bilinear and bilinear_fast and has_env_pair:
+        # env-only --bilinear-fast: 2 pair gathers give all 4 corners
+        e00, _, e01, _, fu, fv = _env_bilinear_indices(textures, ray_d)
+        ec00, ec10 = _unpack_envpair(jnp.take(textures.env_pair, e00),
+                                     textures.env_enabled)
+        ec01, ec11 = _unpack_envpair(jnp.take(textures.env_pair, e01),
+                                     textures.env_enabled)
+        env = _bilerp(ec00, ec10, ec01, ec11, fu, fv)
     elif has_env and bilinear and textures.env_packed.shape[0] == he * we:
         e00, e10, e01, e11, fu, fv = _env_bilinear_indices(textures, ray_d)
         env = _bilerp(*[_unpack_rgbe(jnp.take(textures.env_packed, i),
@@ -1254,7 +1471,13 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
       spec_exp = _mat_select(materials.specular_exponent, mat_id)
       cos_a = jnp.power(jnp.clip(uniforms[1], 1e-9, 1.0),
                         1.0 / (spec_exp + 1.0))
-      sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+      # 1e-20 floor: at u ~ 1 cos_a rounds to 1.0 and sqrt(0) has an
+      # infinite derivative — the floor zeroes the tangent there instead
+      # of NaN-ing the SPECEX gradient (primal shift <= 1e-10 in one
+      # direction component). The exponent gradient flows through cos_a
+      # (reparameterized Phong-lobe sample; see the scatter-direction
+      # gradient note below).
+      sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 1e-20))
       phi_g = uniforms[2] * TWO_PI
       pick_gx = jnp.abs(d_spec.x) < SQRT_OF_ONE_THIRD
       pick_gy = (~pick_gx) & (jnp.abs(d_spec.y) < SQRT_OF_ONE_THIRD)
@@ -1305,7 +1528,11 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
 
     sin2_t = eta * eta * jnp.maximum(1.0 - cos_i * cos_i, 0.0)
     tir = sin2_t > 1.0
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    # 1e-20 floor: on TIR lanes 1-sin2_t clamps and sqrt(0)'s infinite
+    # derivative would NaN the IOR gradient (0 cotangent * inf = NaN)
+    # even though d_refr is replaced by the mirror there; the floor makes
+    # the dead branch's tangent finite (primal shift <= 1e-10, unused).
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 1e-20))
     k_r = eta * cos_i - cos_t
     d_refr = V3(eta * ray_d.x + k_r * n.x,
                 eta * ray_d.y + k_r * n.y,
@@ -1314,12 +1541,27 @@ def shade_planar(hit: HitP, ray_d: V3, throughput: V3, alive, materials,
     refl_instead = tir | (u_fres < jax.lax.stop_gradient(fres))
     d_refr = vec.where(refl_instead, d_spec, d_refr)
 
+    # Scatter-direction gradients (differentiable delta/glossy chains —
+    # BASELINE north star names IOR and roughness): the DIFFUSE sample
+    # stays detached (the detached-sampling convention, header comment —
+    # reparameterizing the cosine-hemisphere draw buys nothing for
+    # material gradients and amplifies visibility-discontinuity noise),
+    # but the mirror/refraction directions are DETERMINISTIC functions of
+    # (ior, geometry) and the glossy direction is a REPARAMETERIZED
+    # Phong-lobe sample (cos_a = u^(1/(e+1)) with u fixed), so those
+    # lanes keep their tangents: d(image)/d(REFRIOR) flows through
+    # d_refr's eta and d(image)/d(SPECEX) through cos_a
+    # (tests/test_grad.py FD checks). Primal values are unchanged.
+    # Caveat (documented, standard for detached estimators): the
+    # reflect-vs-refract BERNOULLI decision keeps probability fres with
+    # weight 1, so the d(fres)/d(ior) score term is not estimated — the
+    # gradient covers the transport-geometry dependence, which dominates.
+    d_diff = V3(jax.lax.stop_gradient(d_diff.x),
+                jax.lax.stop_gradient(d_diff.y),
+                jax.lax.stop_gradient(d_diff.z))
     new_dir = vec.where(take_refr, d_refr,
                         vec.where(take_spec, d_spec, d_diff))
     new_dir = vec.normalize(new_dir)
-    new_dir = V3(jax.lax.stop_gradient(new_dir.x),
-                 jax.lax.stop_gradient(new_dir.y),
-                 jax.lax.stop_gradient(new_dir.z))
 
     if nee is not None:
         # Direct light through the surface's non-delta components, with

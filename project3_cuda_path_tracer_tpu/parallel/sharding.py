@@ -134,42 +134,21 @@ class ShardedRenderer:
 
         ray_sharding = NamedSharding(self.mesh, P("data"))
         self.accum_sharding = NamedSharding(self.mesh, P("data", None, None))
-        types = np.asarray(scene.geoms.type)
-        mesh_idx = tuple(int(i) for i in np.nonzero(types == T.MESH)[0])
-        self.cfg = integ.TraceConfig(
-            width=w, height=h,
-            trace_depth=self.settings.trace_depth,
-            antialias=self.settings.antialias,
-            sort_materials=self.settings.sort_materials,
-            compact=self.settings.compact,
-            mesh_geom_indices=mesh_idx,
-            ray_sharding=ray_sharding,
-            geom_types=tuple(int(t) for t in types),
-            mesh_ids=tuple(int(m) for m in np.asarray(scene.geoms.mesh_id)),
-            sdf_kinds=scene.sdf_kinds,
-            unroll=bool(len(mesh_idx) and scene.packed_meshes),
-            tile=(32 if (len(mesh_idx) and scene.packed_meshes
-                         and w % 32 == 0 and h % 32 == 0) else 0),
-            glossy=bool(np.any(np.asarray(
-                scene.materials.specular_exponent) > 0)),
-            sky=bool(float(np.asarray(scene.textures.sky)[0]) > 0),
-            bump=bool(np.any(np.asarray(scene.textures.bump)[:, 0] > 0)),
-            nmap=bool(np.any(np.asarray(scene.textures.nrm_id) >= 0)),
-            russian_roulette=self.settings.russian_roulette,
-            stratified=getattr(self.settings, "stratified", False),
-            strat_impl=getattr(self.settings, "strat_impl", "lattice"),
-            dof=bool(scene.camera.aperture > 0
-                     and scene.camera.focal_distance > 0),
-            motion=bool(scene.camera.shutter > 0),
-            dispersion=bool(
-                scene.materials.dispersion is not None
-                and np.any(np.asarray(scene.materials.dispersion) > 0)),
-            nee_ris=int(getattr(self.settings, "nee_ris", 0)),
-            clamp=float(getattr(self.settings, "clamp", 0.0)),
-            bilinear=bool(getattr(self.settings, "bilinear", False)),
-        )
+        drops: list = []
+        # Shared settings->cfg resolution with the single-device Renderer
+        # (integrator.build_trace_config — one builder so feature flags
+        # cannot drift between the two surfaces). cfg.adaptive stays False
+        # at the top level here: the sharded adaptive path flips it inside
+        # its shard_map body (_build_adaptive_chunk), where the wavefront
+        # is shard-local and ray_sharding is off.
+        self.cfg = integ.build_trace_config(self.scene, self.settings,
+                                            ray_sharding=ray_sharding)
+        if int(getattr(self.settings, "restir", 0)) >= 1:
+            drops.append("restir (single-device only: the temporal "
+                         "reservoir needs the identity path order)")
         if getattr(self.settings, "nee", False):
-            self.cfg = integ._wire_nee(self.scene, self.cfg)
+            self.cfg = integ._wire_nee(self.scene, self.cfg, drops)
+        integ.announce_drops(drops)
         self.adaptive = bool(getattr(self.settings, "adaptive", False))
         if self.adaptive and (self.settings.sort_materials
                               or self.settings.compact):

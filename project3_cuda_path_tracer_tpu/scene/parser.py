@@ -432,19 +432,6 @@ def _load_textures(mats: List[dict], envmap_path: Optional[str],
         m = np.stack([(p & 0xFF), (p >> 8) & 0xFF, (p >> 16) & 0xFF], -1)
         return (m.astype(np.float32) + 0.5) * s[..., None]
 
-    def _pair565():
-        # RGB565 horizontal-pair plane for --bilinear-fast (scene/types.py
-        # atlas_pair): right neighbor clamped INSIDE each strip image so a
-        # rect's right-edge pair never bleeds into the next image's texels.
-        if not imgs:
-            return None
-        from ..utils.image import pack_565_pair
-        pair = np.zeros(atlas.shape[:2], np.uint32)
-        for _, (x0, y0, w, h) in offsets.items():
-            pair[y0:y0 + h, x0:x0 + w] = pack_565_pair(
-                atlas[y0:y0 + h, x0:x0 + w])
-        return jnp.asarray(pair.reshape(-1))
-
     return T.Textures(
         atlas=jnp.asarray(atlas), rect=jnp.asarray(rect),
         tex_id=jnp.asarray(tex_id), env=jnp.asarray(env),
@@ -454,7 +441,37 @@ def _load_textures(mats: List[dict], envmap_path: Optional[str],
         sky=jnp.asarray(sky),
         atlas_packed=_packed_or_none(atlas, pack_rgb8, _unpack_rgb8),
         env_packed=_packed_or_none(env, pack_rgbe, _unpack_rgbe),
-        atlas_pair=_pair565(),
+        # atlas_pair (--bilinear-fast's RGB565 plane) is built LAZILY by
+        # the renderer when the flag is actually set (build_atlas_pair
+        # below) — it costs +4 bytes/texel and bake/compile constant size
+        # for every textured scene otherwise.
         bump=jnp.asarray(bump), nrm_rect=jnp.asarray(nrm_rect),
         nrm_id=jnp.asarray(nrm_id),
     )
+
+
+def build_atlas_pair(textures: T.Textures):
+    """RGB565 horizontal-pair plane for --bilinear-fast (scene/types.py
+    atlas_pair): entry (y,x) packs texel(y,x) in the low 16 bits and its
+    RIGHT neighbor in the high 16, the neighbor clamped INSIDE the texel's
+    own strip image so a rect's right-edge pair never bleeds into the next
+    image. Rebuilt from the atlas + the per-material rects (every strip
+    image's rect appears in rect/nrm_rect, so the parse-time layout is
+    recoverable). Returns a [Ha*Wa] uint32 plane, or None for an untextured
+    scene. Called lazily by Renderer/ShardedRenderer when bilinear_fast is
+    requested."""
+    atlas = np.asarray(textures.atlas)
+    if atlas.shape[0] == 1 and atlas.shape[1] == 1:
+        return None
+    from ..utils.image import pack_565_pair
+    rects = set()
+    for rect_t, id_t in ((textures.rect, textures.tex_id),
+                         (textures.nrm_rect, textures.nrm_id)):
+        rect_n, id_n = np.asarray(rect_t), np.asarray(id_t)
+        for i in np.nonzero(id_n >= 0)[0]:
+            rects.add(tuple(int(v) for v in rect_n[i]))
+    pair = np.zeros(atlas.shape[:2], np.uint32)
+    for (x0, y0, w, h) in rects:
+        pair[y0:y0 + h, x0:x0 + w] = pack_565_pair(
+            atlas[y0:y0 + h, x0:x0 + w])
+    return jnp.asarray(pair.reshape(-1))

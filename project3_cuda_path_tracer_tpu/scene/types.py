@@ -176,6 +176,13 @@ class Textures:
     # becomes 2 gathers at 5/6-bit channel (mag-filter) quality.
     # Shape (1,) = absent (fast mode falls back to exact 4-gather).
     atlas_pair: jnp.ndarray = None    # [Ha*Wa] uint32
+    # ENV horizontal-pair plane for --bilinear-fast (utils/image.
+    # pack_env_pair): texel + right neighbor ((x+1) mod W — longitude
+    # wraps) as two 12-bit shared-exponent mini-RGBE texels per u32, so
+    # the env's 4-corner bilinear fetch rides the same 2 gathers as the
+    # atlas. Built lazily by build_trace_config when the flag is set.
+    # Shape (1,) = absent (fast mode keeps the nearest-RGBE env).
+    env_pair: jnp.ndarray = None      # [He*We] uint32
     # Env-map importance-sampling alias table (ops/nee.py env NEE):
     # Vose alias method over texels weighted by luminance * solid angle.
     # Shape (1,) = absent; built lazily by Renderer when settings.nee is
@@ -212,6 +219,9 @@ class Textures:
                                jnp.zeros((1,), jnp.uint32))
         if self.atlas_pair is None:
             object.__setattr__(self, "atlas_pair",
+                               jnp.zeros((1,), jnp.uint32))
+        if self.env_pair is None:
+            object.__setattr__(self, "env_pair",
                                jnp.zeros((1,), jnp.uint32))
         if self.env_alias is None:
             object.__setattr__(self, "env_alias",

@@ -217,6 +217,57 @@ def pack_rgbe(img: np.ndarray) -> np.ndarray:
             | (ee << 24)).reshape(-1)
 
 
+def pack_env_pair(img: np.ndarray) -> np.ndarray:
+    """[H,W,3] float32 HDR radiance -> flat [H*W] uint32 horizontal pairs
+    for the --bilinear-fast ENV path: entry (y,x) packs texel (y,x) and
+    its right neighbor (y,(x+1) mod W — equirect longitude wraps) as two
+    12-bit mini-RGBE texels sharing ONE 8-bit exponent:
+
+        bits  0-11: texel0  R4 | G4<<4 | B4<<8
+        bits 12-23: texel1  R4 | G4<<4 | B4<<8
+        bits 24-31: shared exponent E (0 = both texels black)
+
+    The exponent is frexp of the PAIR's max channel (RGBE-style), so
+    decode is channel = (m + 0.5) * 2^(E-132) and the quantization error
+    is bounded by pair_max/16 per channel (4-bit mantissa: bin width
+    2^(e-4) <= pair_max/8, round-to-center error half that; the darker
+    texel of a high-contrast pair bears the brunt — mag-filter quality,
+    exactly the --bilinear-fast contract). One u32 gather returns a whole
+    bilinear row, so the 4-corner env fetch becomes 2 gathers
+    (ops/wavefront._unpack_envpair)."""
+    v = np.maximum(img.astype(np.float64), 0.0)
+    w = v.shape[1]
+    nxt = v[:, (np.arange(w) + 1) % w]
+    pmax = np.maximum(v.max(axis=-1), nxt.max(axis=-1))
+    nz = pmax > 1e-32
+    _, e = np.frexp(np.where(nz, pmax, 1.0))
+    scale = np.where(nz, np.exp2(-(e.astype(np.float64)) + 4.0), 0.0)
+
+    def tex12(t):
+        m = np.clip(np.rint(t * scale[..., None] - 0.5), 0, 15).astype(
+            np.uint32)
+        return m[..., 0] | (m[..., 1] << 4) | (m[..., 2] << 8)
+
+    ee = np.where(nz, e + 128, 0).astype(np.uint32)
+    return (tex12(v) | (tex12(nxt) << 12) | (ee << 24)).reshape(-1)
+
+
+def unpack_env_pair(packed: np.ndarray):
+    """Inverse of pack_env_pair for tests: flat [H*W] uint32 ->
+    (texel0 [H*W,3], texel1 [H*W,3]) float32."""
+    p = np.asarray(packed, np.uint32)
+    e = ((p >> 24) & 0xFF).astype(np.int64)
+    s = np.where(e > 0, np.exp2(e.astype(np.float64) - 132.0), 0.0)
+
+    def one(q):
+        return np.stack([((q & 15) + 0.5), (((q >> 4) & 15) + 0.5),
+                         (((q >> 8) & 15) + 0.5)],
+                        axis=-1).astype(np.float64) * s[..., None]
+
+    return (one(p).astype(np.float32),
+            one(p >> 12).astype(np.float32))
+
+
 def read_image(path: str) -> np.ndarray:
     ext = os.path.splitext(path)[1].lower()
     if ext == ".hdr":

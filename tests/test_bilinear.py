@@ -151,7 +151,9 @@ def test_bilinear_fast_render_matches_exact():
     s.camera.resolution = (32, 32)
     s.camera.derive()
     s.settings.trace_depth = 3
-    assert s.textures.atlas_pair.shape[0] > 1   # parser built the plane
+    # the pair plane is built LAZILY (first Renderer with bilinear_fast),
+    # not at parse time — textured scenes without the flag don't pay for it
+    assert s.textures.atlas_pair.shape[0] == 1
 
     def render(**kw):
         st = T.RenderSettings(**{**s.settings.__dict__, **kw})
@@ -161,6 +163,96 @@ def test_bilinear_fast_render_matches_exact():
 
     exact = render(bilinear=True)
     fast = render(bilinear=True, bilinear_fast=True)
+    assert s.textures.atlas_pair.shape[0] > 1   # lazily built + cached
+    assert np.isfinite(fast).all()
+    assert abs(float(exact.mean()) - float(fast.mean())) < 0.02
+    assert not np.array_equal(exact, fast)
+
+
+def test_env_pair_roundtrip_error_bound():
+    """pack_env_pair's 12-bit shared-exponent texel pairs must decode to
+    within pair_max/16 per channel (4-bit mantissa, exponent shared with
+    the horizontally adjacent texel), and exactly 0 for black texels."""
+    rng = np.random.default_rng(5)
+    env = (rng.uniform(0, 1, (8, 16, 3)) ** 2 * 50.0).astype(np.float32)
+    env[2, 3] = 0.0                      # black texel in a bright pair
+    p = img_io.pack_env_pair(env)
+    t0, t1 = img_io.unpack_env_pair(p)
+    t0 = t0.reshape(env.shape)
+    t1 = t1.reshape(env.shape)
+    nxt = env[:, (np.arange(env.shape[1]) + 1) % env.shape[1]]
+    pmax = np.maximum(env.max(-1), nxt.max(-1))[..., None]
+    assert np.all(np.abs(t0 - env) <= pmax / 16.0 + 1e-6)
+    assert np.all(np.abs(t1 - nxt) <= pmax / 16.0 + 1e-6)
+    zero_rows = env.max(-1) + nxt.max(-1) == 0
+    assert np.all(t0[zero_rows] == 0.0)
+
+
+def test_env_pair_wraps_longitude():
+    """The right neighbor of the last column must be column 0 (equirect
+    longitude wrap), not a clamp."""
+    env = np.zeros((2, 4, 3), np.float32)
+    env[:, 0] = 7.0   # bright first column
+    p = img_io.pack_env_pair(env).reshape(2, 4)
+    _, t1 = img_io.unpack_env_pair(p[:, 3])
+    assert np.all(np.abs(t1 - 7.0) <= 7.0 / 16.0)
+
+
+def test_bilinear_fast_env_matches_exact_within_bound():
+    """The 2-gather env-pair bilinear fetch must agree with the exact
+    4-gather env bilinear to the encoding's error bound on every
+    direction, including poles and the longitude seam."""
+    import jax.numpy as jnp
+    from project3_cuda_path_tracer_tpu.ops.vec import V3
+    import dataclasses
+    rng = np.random.default_rng(9)
+    env = (rng.uniform(0, 1, (8, 16, 3)) ** 2 * 20.0).astype(np.float32)
+    tx = dataclasses.replace(
+        T.Textures.none(1),
+        env=jnp.asarray(env), env_enabled=jnp.ones(()),
+        env_packed=jnp.asarray(img_io.pack_rgbe(env)),
+        env_pair=jnp.asarray(img_io.pack_env_pair(env)))
+    n = 512
+    d = rng.normal(size=(n, 3))
+    d[:4] = [[0, 1, 0], [0, -1, 0], [1e-8, 1.0, 1e-8], [0, 0, -1]]
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    dv = V3(jnp.asarray(d[:, 0], jnp.float32),
+            jnp.asarray(d[:, 1], jnp.float32),
+            jnp.asarray(d[:, 2], jnp.float32))
+    e00, e10, e01, e11, fu, fv = wf._env_bilinear_indices(tx, dv)
+    exact = wf._bilerp(*[wf._unpack_rgbe(jnp.take(tx.env_packed, i),
+                                         tx.env_enabled)
+                         for i in (e00, e10, e01, e11)], fu, fv)
+    c00, c10 = wf._unpack_envpair(jnp.take(tx.env_pair, e00),
+                                  tx.env_enabled)
+    c01, c11 = wf._unpack_envpair(jnp.take(tx.env_pair, e01),
+                                  tx.env_enabled)
+    fast = wf._bilerp(c00, c10, c01, c11, fu, fv)
+    # the lerp of per-corner errors <= max per-corner error; each corner
+    # errs <= its pair_max/16 <= global max/16 (+ the RGBE error, tiny)
+    bound = float(env.max()) / 16.0 + 1e-3
+    for a, b in ((exact.x, fast.x), (exact.y, fast.y), (exact.z, fast.z)):
+        assert float(jnp.max(jnp.abs(a - b))) <= bound
+
+
+def test_bilinear_fast_env_render_improves_on_nearest():
+    """End-to-end: with the env pair plane, --bilinear-fast must track the
+    exact --bilinear render MORE closely than the nearest-env fast path
+    did (the round-4 gap this feature closes), and stay finite."""
+    s = load_scene("scenes/textured_env.txt")
+    s.camera.resolution = (32, 32)
+    s.camera.derive()
+    s.settings.trace_depth = 3
+
+    def render(**kw):
+        st = T.RenderSettings(**{**s.settings.__dict__, **kw})
+        r = I.Renderer(s, settings=st)
+        r.render(4)
+        return r.image()
+
+    exact = render(bilinear=True)
+    fast = render(bilinear=True, bilinear_fast=True)
+    assert s.textures.env_pair.shape[0] > 1    # lazily built
     assert np.isfinite(fast).all()
     assert abs(float(exact.mean()) - float(fast.mean())) < 0.02
     assert not np.array_equal(exact, fast)

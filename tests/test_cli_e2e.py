@@ -78,6 +78,23 @@ def test_main_renders_and_saves(tiny_scene, tmp_path):
     assert im.max() > 0  # the light is visible
 
 
+def test_feature_drop_summary_line(tiny_scene, tmp_path, capsys):
+    """Requested-but-dropped features are announced in ONE stderr line at
+    renderer construction (integrator.announce_drops) — the flag surface
+    must never narrow silently."""
+    rc = main([tiny_scene, "--outdir", str(tmp_path), "--out", "d",
+               "--iterations", "1", "--nee", "--sort"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "features dropped:" in err
+    assert "nee (incompatible with sort/compact)" in err
+    # ...and a clean run prints no drop line
+    rc = main([tiny_scene, "--outdir", str(tmp_path), "--out", "d2",
+               "--iterations", "1", "--nee"])
+    assert rc == 0
+    assert "features dropped:" not in capsys.readouterr().err
+
+
 def test_main_hdr_and_snapshots(tiny_scene, tmp_path):
     rc = main([tiny_scene, "--outdir", str(tmp_path), "--out", "b",
                "--iterations", "2", "--hdr", "--snapshot-every", "1"])

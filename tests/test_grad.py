@@ -109,6 +109,80 @@ def test_grad_wrt_camera_position(setup):
     assert analytic == pytest.approx(fd, rel=0.25, abs=1e-3)
 
 
+def _fd_material_scalar(scene_path, field, idx, depth, res, eps,
+                        rtol, key_seed=0):
+    """FD-vs-analytic for a scalar material field on a scene with NEE
+    wired (NEE's solid-angle pdfs give the loss its CONTINUOUS
+    dependence on scatter directions; under the plain estimator a
+    flat-wall scene's image is piecewise constant in them — cosine
+    importance sampling cancels every geometric factor — so both
+    gradients are trivially zero)."""
+    import dataclasses
+    s = load_scene(scene_path)
+    s.camera.resolution = (res, res)
+    s.camera.derive()
+    gt = tuple(int(x) for x in np.asarray(s.geoms.type))
+    cfg = integ.TraceConfig(width=res, height=res, trace_depth=depth,
+                            antialias=False, geom_types=gt, glossy=True)
+    cfg = integ._wire_nee(s, cfg)
+    assert cfg.nee
+    key = jax.random.PRNGKey(key_seed)
+    params = RenderParams(materials=s.materials, cam=s.camera.flat())
+
+    def loss(p):
+        img = render_image(p, s.geoms, s.meshes, s.textures, key, cfg)
+        return jnp.sum(img ** 2) / img.size
+
+    g = jax.grad(loss)(params)
+    analytic = float(np.asarray(getattr(g.materials, field))[idx])
+    v0 = float(np.asarray(getattr(s.materials, field))[idx])
+    # FD loss is reduced HOST-SIDE in float64: the device f32 scalar
+    # loss has ~6e-8 ULPs at these magnitudes, and the true loss
+    # difference over a workable eps is only a few ULPs — an f32-scalar
+    # FD measures quantization, not the slope. The per-pixel image
+    # changes are orders of magnitude above pixel ULPs, so an f64 sum
+    # of the f32 image resolves the difference exactly.
+    rimg = jax.jit(lambda p: render_image(p, s.geoms, s.meshes,
+                                          s.textures, key, cfg))
+
+    def loss64(p):
+        img = np.asarray(rimg(p), np.float64)
+        return float((img ** 2).sum() / img.size)
+
+    def set_(v):
+        m = dataclasses.replace(
+            params.materials,
+            **{field: getattr(params.materials, field).at[idx].set(v)})
+        return params._replace(materials=m)
+
+    fd = (loss64(set_(v0 + eps)) - loss64(set_(v0 - eps))) / (2 * eps)
+    assert np.isfinite(analytic) and analytic != 0.0
+    assert analytic == pytest.approx(fd, rel=rtol, abs=1e-7), \
+        f"analytic={analytic} fd={fd}"
+
+
+@pytest.mark.slow
+def test_grad_wrt_ior():
+    """REFRIOR gradient (north-star list; reference contract
+    src/interactions.h:44-68): the refraction direction is a
+    deterministic function of eta, kept differentiable since round 5
+    (ops/wavefront.py scatter-direction gradient note), so jax.grad
+    w.r.t. the glass IOR must match the fixed-key FD gradient. The
+    residual mismatch budget is f32 FD quantization + the detached
+    Fresnel-Bernoulli score term (documented)."""
+    _fd_material_scalar('scenes/cornell_glass.txt', 'ior', 5,
+                        depth=5, res=32, eps=1e-3, rtol=0.2)
+
+
+@pytest.mark.slow
+def test_grad_wrt_specular_exponent():
+    """SPECEX gradient (the reference's roughness analogue,
+    src/sceneStructs.h:33-35): flows through the reparameterized Phong
+    sample cos_a = u^(1/(e+1)) and the NEE glossy MIS weight."""
+    _fd_material_scalar('scenes/cornell_glossy.txt', 'specular_exponent',
+                        4, depth=4, res=32, eps=0.25, rtol=0.15)
+
+
 def test_mse_loss_grad_finite_everywhere(setup):
     s, cfg, key, params = setup
     target = jnp.zeros((16, 16, 3))
@@ -398,9 +472,32 @@ def test_inverse_renderer_history_mode():
     from project3_cuda_path_tracer_tpu.models.inverse import InverseRenderer
     for hist in (True, False):
         ir = InverseRenderer(s, target, trace_depth=2, seed=3, history=hist)
-        losses = ir.fit(3)
+        # polish_steps=0: pure history mode (the default fit() ends with
+        # a two-render polish tail, which re-seeds the residual — tested
+        # separately below)
+        losses = ir.fit(3, polish_steps=0) if hist else ir.fit(3)
         assert len(losses) == 3 and all(np.isfinite(l) for l in losses)
         if hist:
             assert ir.hist is not None and ir.hist.shape == (16, 16, 3)
         else:
             assert ir.hist is None
+
+
+def test_inverse_renderer_polish_tail():
+    """fit() under history mode ends with two-render polish steps
+    (default POLISH_STEPS capped at half the fit): losses stay finite,
+    the optimizer state carries across the loss switch, and the stale
+    residual is dropped (re-seeded on any later history step)."""
+    s = load_scene("/root/reference/scenes/cornell.txt")
+    s.camera.resolution = (16, 16)
+    s.camera.derive()
+    target = np.zeros((16, 16, 3), np.float32)
+    from project3_cuda_path_tracer_tpu.models.inverse import InverseRenderer
+    ir = InverseRenderer(s, target, trace_depth=2, seed=3, history=True)
+    assert ir.polish_steps == InverseRenderer.POLISH_STEPS
+    losses = ir.fit(4)          # 2 history + 2 polish (half-cap)
+    assert len(losses) == 4 and all(np.isfinite(l) for l in losses)
+    assert ir.hist is None      # polish invalidated the stale residual
+    # a later history step re-seeds and runs
+    loss = ir.step()
+    assert np.isfinite(loss) and ir.hist is not None

@@ -33,6 +33,12 @@ def main() -> int:
                          "instead of the two-render unbiased loss — the "
                          "round-4 train-step form; fits must match "
                          "(BENCHMARKS.md A/B)")
+    ap.add_argument("--polish", type=int, default=0,
+                    help="with --history: run the LAST N steps with the "
+                         "two-render unbiased loss (the round-5 "
+                         "InverseRenderer.fit default, POLISH_STEPS=30) — "
+                         "removes the history loss's one-adam-step "
+                         "equilibrium shift at ~zero throughput cost")
     args = ap.parse_args()
 
     import numpy as np
@@ -102,13 +108,17 @@ def main() -> int:
     key = jax.random.PRNGKey(11)
     hist = render(params, jax.random.PRNGKey(777)) if args.history else None
     tail = []
+    polish_from = args.steps - (args.polish if args.history else 0)
     for i in range(args.steps):
         key, k = jax.random.split(key)
-        if args.history:
+        if args.history and i < polish_from:
             params, opt_state, hist, loss = hstep(params, opt_state, hist, k)
         else:
             params, opt_state, loss = step(params, opt_state, k)
-        if i >= args.steps * 3 // 5:
+        # Polyak tail: with --polish, average only the polished steps
+        # (they sit at the unbiased equilibrium; mixing in pre-polish
+        # iterates would re-import the shift being measured)
+        if i >= max(args.steps * 3 // 5, polish_from if args.polish else 0):
             tail.append(np.asarray(params.materials.color[1]))
         if i % 50 == 0 or i == args.steps - 1:
             print(json.dumps({
