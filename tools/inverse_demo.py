@@ -115,10 +115,17 @@ def main() -> int:
             params, opt_state, hist, loss = hstep(params, opt_state, hist, k)
         else:
             params, opt_state, loss = step(params, opt_state, k)
-        # Polyak tail: with --polish, average only the polished steps
-        # (they sit at the unbiased equilibrium; mixing in pre-polish
-        # iterates would re-import the shift being measured)
-        if i >= max(args.steps * 3 // 5, polish_from if args.polish else 0):
+        # Polyak tail: with --polish, average the polished steps minus a
+        # 15-step switch transient (the shifted history equilibrium
+        # decays over ~1/(1-b1)=10 adam steps). NOTE (measured, round
+        # 5): at lr 5e-2 the single-sample iterates RANDOM-WALK around
+        # the optimum with ~0.15 std — recovered-value comparisons are
+        # only meaningful over equal-length Polyak windows (use
+        # --polish 135 to match the default 120-step window).
+        tail_start = (args.steps - max(10, args.polish - 15)
+                      if args.history and args.polish
+                      else args.steps * 3 // 5)
+        if i >= tail_start:
             tail.append(np.asarray(params.materials.color[1]))
         if i % 50 == 0 or i == args.steps - 1:
             print(json.dumps({
