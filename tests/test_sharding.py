@@ -66,12 +66,14 @@ def test_sharded_cfg_cannot_drift_from_single(cornell_32):
                              "bilinear_fast": True})
     single = Renderer(cornell_32, settings=st)
     sharded = ShardedRenderer(cornell_32, settings=st)
-    a = dataclasses.asdict(single.cfg)
-    b = dataclasses.asdict(sharded.cfg)
-    for skip in ("ray_sharding", "adaptive", "restir", "restir_cap",
-                 "tile"):
-        a.pop(skip), b.pop(skip)
-    assert a == b
+    # Shallow per-field compare: dataclasses.asdict deep-copies, and the
+    # sharded cfg's NamedSharding holds Device handles that cannot be
+    # copied/pickled.
+    skip = {"ray_sharding", "adaptive", "restir", "restir_cap", "tile"}
+    diff = [f.name for f in dataclasses.fields(single.cfg)
+            if f.name not in skip
+            and getattr(single.cfg, f.name) != getattr(sharded.cfg, f.name)]
+    assert not diff, diff
 
 
 def test_sharded_bilinear_fast_matches_single():
